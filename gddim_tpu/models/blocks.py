@@ -1,0 +1,194 @@
+"""NCSN++ building blocks (reference: cld_jax/models/layerspp.py).
+
+Class names and intra-block module creation order deliberately mirror the
+reference so `nn.compact` auto-numbering produces the same parameter tree as
+the published checkpoints (see gddim_tpu/checkpoints/legacy.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gddim_tpu.models import resample
+from gddim_tpu.models.layers import NIN, conv1x1, conv3x3, default_init, group_norm
+from gddim_tpu.ops.attention import self_attention_2d
+
+
+class AttnBlockpp(nn.Module):
+    """Spatial self-attention block (reference layerspp.py:61-83)."""
+
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+    dtype: Any = None
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        h = group_norm(x)
+        q = NIN(x.shape[-1], dtype=self.dtype)(h)
+        k = NIN(x.shape[-1], dtype=self.dtype)(h)
+        v = NIN(x.shape[-1], dtype=self.dtype)(h)
+        h = self_attention_2d(q, k, v, impl=self.attention_impl)
+        h = NIN(x.shape[-1], init_scale=self.init_scale, dtype=self.dtype)(h)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class Upsample(nn.Module):
+    """(reference layerspp.py:86-112)"""
+
+    out_ch: Optional[int] = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        out_ch = self.out_ch or c
+        if not self.fir:
+            y = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+            if self.with_conv:
+                y = conv3x3(y, out_ch, dtype=self.dtype)
+        else:
+            if not self.with_conv:
+                y = resample.upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                y = resample.Conv2d(
+                    out_ch,
+                    kernel=3,
+                    up=True,
+                    resample_kernel=self.fir_kernel,
+                    use_bias=True,
+                    kernel_init=default_init(),
+                    dtype=self.dtype,
+                )(x)
+        assert y.shape == (b, 2 * h, 2 * w, out_ch)
+        return y
+
+
+class Downsample(nn.Module):
+    """(reference layerspp.py:115-143)"""
+
+    out_ch: Optional[int] = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        out_ch = self.out_ch or c
+        if not self.fir:
+            if self.with_conv:
+                y = conv3x3(x, out_ch, stride=2, dtype=self.dtype)
+            else:
+                y = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+        else:
+            if not self.with_conv:
+                y = resample.downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                y = resample.Conv2d(
+                    out_ch,
+                    kernel=3,
+                    down=True,
+                    resample_kernel=self.fir_kernel,
+                    use_bias=True,
+                    kernel_init=default_init(),
+                    dtype=self.dtype,
+                )(x)
+        assert y.shape == (b, h // 2, w // 2, out_ch)
+        return y
+
+
+class ResnetBlockDDPMpp(nn.Module):
+    """DDPM-style residual block (reference layerspp.py:146-177)."""
+
+    act: Any
+    out_ch: Optional[int] = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, temb=None, train=True):
+        _, _, _, c = x.shape
+        out_ch = self.out_ch or c
+        h = self.act(group_norm(x))
+        h = conv3x3(h, out_ch, dtype=self.dtype)
+        if temb is not None:
+            h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
+                self.act(temb)
+            )[:, None, None, :]
+        h = self.act(group_norm(h))
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype)
+        if c != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(x, out_ch, dtype=self.dtype)
+            else:
+                x = NIN(out_ch, dtype=self.dtype)(x)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class ResnetBlockBigGANpp(nn.Module):
+    """BigGAN-style residual block with in-block resampling
+    (reference layerspp.py:180-227)."""
+
+    act: Any
+    up: bool = False
+    down: bool = False
+    out_ch: Optional[int] = None
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, temb=None, train=True):
+        _, _, _, c = x.shape
+        out_ch = self.out_ch or c
+        h = self.act(group_norm(x))
+
+        if self.up:
+            if self.fir:
+                h = resample.upsample_2d(h, self.fir_kernel, factor=2)
+                x = resample.upsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = resample.naive_upsample_2d(h, factor=2)
+                x = resample.naive_upsample_2d(x, factor=2)
+        elif self.down:
+            if self.fir:
+                h = resample.downsample_2d(h, self.fir_kernel, factor=2)
+                x = resample.downsample_2d(x, self.fir_kernel, factor=2)
+            else:
+                h = resample.naive_downsample_2d(h, factor=2)
+                x = resample.naive_downsample_2d(x, factor=2)
+
+        h = conv3x3(h, out_ch, dtype=self.dtype)
+        if temb is not None:
+            h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
+                self.act(temb)
+            )[:, None, None, :]
+        h = self.act(group_norm(h))
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype)
+        if c != out_ch or self.up or self.down:
+            x = conv1x1(x, out_ch, dtype=self.dtype)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)

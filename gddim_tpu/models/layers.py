@@ -1,0 +1,146 @@
+"""Base layers for the score U-Nets.
+
+Fresh flax.linen implementations with the reference's semantics (citations:
+cld_jax/models/layers.py, layerspp.py). Class/param naming deliberately tracks
+the reference's auto-numbered `nn.compact` layout so legacy msgpack
+checkpoints can be mapped onto the new param tree.
+
+TPU-first notes: convolutions run in NHWC (TPU-native layout); a `dtype`
+argument threads a bf16 compute path through every block while parameters and
+normalization statistics stay float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def default_init(scale: float = 1.0):
+    """DDPM variance-scaling init (layers.py:496-501 of the reference)."""
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def conv3x3(x, out_planes, stride=1, bias=True, dilation=1, init_scale=1.0, dtype=None):
+    """3x3 conv with DDPM init (reference ddpm_conv3x3, layers.py:138-151)."""
+    return nn.Conv(
+        out_planes,
+        kernel_size=(3, 3),
+        strides=(stride, stride),
+        padding="SAME",
+        use_bias=bias,
+        kernel_dilation=(dilation, dilation),
+        kernel_init=default_init(init_scale),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+    )(x)
+
+
+def conv1x1(x, out_planes, stride=1, bias=True, dilation=1, init_scale=1.0, dtype=None):
+    """1x1 conv with DDPM init (reference ddpm_conv1x1, layers.py:106-116)."""
+    return nn.Conv(
+        out_planes,
+        kernel_size=(1, 1),
+        strides=(stride, stride),
+        padding="SAME",
+        use_bias=bias,
+        kernel_dilation=(dilation, dilation),
+        kernel_init=default_init(init_scale),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+    )(x)
+
+
+class NIN(nn.Module):
+    """1x1 dense mix over channels (reference layers.py:467-478)."""
+
+    num_units: int
+    init_scale: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = int(x.shape[-1])
+        w = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
+        b = self.param("b", nn.initializers.zeros, (self.num_units,))
+        if self.dtype is not None:
+            w, b = w.astype(self.dtype), b.astype(self.dtype)
+        y = jnp.einsum("...i,ij->...j", x, w) + b
+        return y
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier time embeddings (reference layerspp.py:33-43)."""
+
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "W", nn.initializers.normal(stddev=self.scale), (self.embedding_size,)
+        )
+        w = jax.lax.stop_gradient(w)
+        x_proj = x[:, None] * w[None, :] * 2 * jnp.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+def get_timestep_embedding(timesteps, embedding_dim, max_positions=10000):
+    """Sinusoidal positional embedding (reference layers.py:450-464)."""
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, [[0, 0], [0, 1]])
+    return emb
+
+
+def get_act(config):
+    """Activation from config (reference layers.py:30-42)."""
+    name = config.model.nonlinearity.lower()
+    if name == "elu":
+        return nn.elu
+    if name == "relu":
+        return nn.relu
+    if name == "lrelu":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.2)
+    if name == "swish":
+        return nn.swish
+    raise NotImplementedError(f"activation {name} unknown")
+
+
+class Combine(nn.Module):
+    """Combine skip-pyramid information (reference layerspp.py:46-58)."""
+
+    method: str = "cat"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, y):
+        h = conv1x1(x, y.shape[-1], dtype=self.dtype)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        if self.method == "sum":
+            return h + y
+        raise ValueError(f"combine method {self.method} not recognized")
+
+
+def group_norm(x, num_groups=None, name=None):
+    """GroupNorm in f32 regardless of activation dtype (min(C//4, 32) groups)."""
+    c = x.shape[-1]
+    if num_groups is None:
+        num_groups = min(c // 4, 32)
+    xdtype = x.dtype
+    h = nn.GroupNorm(num_groups=num_groups, name=name, dtype=jnp.float32)(
+        x.astype(jnp.float32)
+    )
+    return h.astype(xdtype)

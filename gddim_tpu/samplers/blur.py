@@ -1,0 +1,82 @@
+"""Blur-diffusion sampler: DDIM-style order-0 updates in DCT space.
+
+Reference: blur_jax/sampling.py:42-90. All per-step (H, W, 1) mean maps and
+std scalars are precomputed on the host and folded into one `lax.scan`; the
+inner body is iDCT -> U-Net -> DCT (matmul DCT, gddim_tpu/math/dct.py) plus
+elementwise frequency updates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gddim_tpu.math.blur import BlurSDE
+from gddim_tpu.samplers.timegrid import rev_time_grid
+
+
+def blur_order0_stacks(sde: BlurSDE, nfe: int, ts_order: float):
+    """Per-step DCT-space coefficients for the order-0 update.
+
+    y_0 = (y - s_i eps) / m_i ;  y_{i+1} = m_{i+1} y_0 + s_{i+1} eps
+    folded into  y_{i+1} = a_i y + b_i eps  with
+    a_i = m_{i+1}/m_i (H, W, 1),  b_i = s_{i+1} - a_i s_i (H, W, 1 broadcast).
+    """
+    rev_ts = rev_time_grid(sde.sampling_T, sde.sampling_eps, nfe, ts_order)
+    ts = jnp.asarray(rev_ts)
+    m = np.asarray(sde.y_mean_coef(ts))  # (N+1, H, W, 1)
+    s = np.asarray(sde.y_std_coef(ts))  # (N+1,)
+    a = m[1:] / m[:-1]
+    b = s[1:, None, None, None] - a * s[:-1, None, None, None]
+    return rev_ts, a.astype(np.float32), b.astype(np.float32)
+
+
+def build_blur_sampler(config, sde: BlurSDE, yeps_apply, data_shape, inverse_scaler):
+    """Returns sample_fn(rng, variables, batch_size, u0=None) -> (x, nfe).
+
+    yeps_apply(variables, y, t_vec) -> eps_y (the y-space eps wrapper,
+    gddim_tpu/models/wrappers.py:make_blur_yeps_fn).
+    """
+    sampling = config.sampling
+    nfe = int(sampling.nfe)
+    ts_order = float(sampling.ts_order)
+    rev_ts, a_stack, b_stack = blur_order0_stacks(sde, nfe, ts_order)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def _run(rng, variables, y0):
+        del rng
+        batch = y0.shape[0]
+        xs = {
+            "a": jnp.asarray(a_stack),
+            "b": jnp.asarray(b_stack),
+            "t": jnp.asarray(rev_ts[:-1], dtype=y0.dtype),
+        }
+
+        def body(y, x):
+            eps_y = yeps_apply(variables, y, jnp.full((batch,), x["t"], y.dtype))
+            y_next = x["a"][None] * y + x["b"][None] * eps_y
+            return y_next, None
+
+        y, _ = lax.scan(body, y0, xs)
+        x0 = sde.y2x(y)
+        return inverse_scaler(x0)
+
+    def sample_fn(rng, variables, batch_size=None, u0=None):
+        if u0 is None:
+            prior_rng, rng = jax.random.split(rng)
+            u0 = sde.prior_sampling(prior_rng, (batch_size,) + tuple(data_shape))
+        x = _run(rng, variables, u0)
+        return x, nfe
+
+    return sample_fn
+
+
+def build_blur_sampler_from_config(config, sde, yeps_apply, data_shape, inverse_scaler):
+    name = config.sampling.method.lower()
+    if name != "order0":
+        raise ValueError(f"blur package supports only 'order0' (got {name})")
+    return build_blur_sampler(config, sde, yeps_apply, data_shape, inverse_scaler)

@@ -1,0 +1,150 @@
+"""Blur package: DCT kernels, BlurSDE schedule, order-0 DCT-space sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.fft
+
+from gddim_tpu.math import dct
+from gddim_tpu.math.blur import BlurSDE, batch_mul
+
+
+def test_dct_matches_scipy(rng):
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(dct.batch_img_dct(jnp.asarray(x)))
+    exp = scipy.fft.dctn(x.astype(np.float64), type=2, axes=(1, 2), norm="ortho")
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_idct_matches_scipy(rng):
+    y = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(dct.batch_img_idct(jnp.asarray(y)))
+    exp = scipy.fft.idctn(y.astype(np.float64), type=2, axes=(1, 2), norm="ortho")
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_dct_roundtrip_and_orthonormality(rng):
+    x = rng.normal(size=(1, 16, 16, 2)).astype(np.float32)
+    y = dct.batch_img_dct(jnp.asarray(x))
+    back = dct.batch_img_idct(y)
+    np.testing.assert_allclose(np.asarray(back), x, rtol=1e-4, atol=1e-5)
+    # Parseval: orthonormal transform preserves energy
+    np.testing.assert_allclose(
+        np.sum(np.asarray(y) ** 2), np.sum(x**2), rtol=1e-5
+    )
+
+
+def test_dct_matches_reference_normalization():
+    """The reference's FFT-based DCT normalization (blur_jax/blur.py:27-35)
+    equals the orthonormal DCT-II: factor sqrt(N)*2 for k=0, sqrt(2N) else
+    applied to 2*V -- i.e. scipy norm='ortho'. Check on an impulse and ramp."""
+    n = 8
+    for sig in [np.eye(n)[0], np.arange(n, dtype=np.float64)]:
+        exp = scipy.fft.dct(sig, type=2, norm="ortho")
+        got = dct.dct_matrix(n) @ sig
+        np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-12)
+
+
+def test_blur_schedule_invariants():
+    sde = BlurSDE()
+    # alpha2t inverts t2alpha
+    ts = jnp.linspace(0.01, 0.99, 7)
+    np.testing.assert_allclose(
+        np.asarray(sde.alpha2t_fn(sde.t2alpha_fn(ts))),
+        np.asarray(ts),
+        rtol=1e-3,
+        atol=1e-4,  # f32 arccos(sqrt(cos^2)) roundtrip
+    )
+    # sampling_T corresponds to rho=80 (reference :33-35)
+    assert 0.9 < sde.sampling_T < 1.0
+    # dalpha/dt matches finite differences
+    for t in [0.1, 0.5, 0.9]:
+        h = 1e-3
+        fd = (sde.t2alpha_fn(t + h) - sde.t2alpha_fn(t - h)) / (2 * h)
+        np.testing.assert_allclose(float(sde.dalpha_dt_fn(t)), float(fd), rtol=1e-2)
+    # frequency scaling is in (min_scale, 1]
+    d = np.asarray(sde.get_frequency_scaling(jnp.asarray([0.5])))
+    assert d.shape == (1, 32, 32, 1)
+    assert (d <= 1.0 + 1e-6).all() and (d >= sde.min_scale - 1e-9).all()
+    # DC frequency is never damped
+    np.testing.assert_allclose(d[0, 0, 0, 0], 1.0, rtol=1e-6)
+
+
+def test_blur_perturb_consistency(rng):
+    """perturb_data must equal mean(iDCT(m .* DCT(x))) + s*eps."""
+    sde = BlurSDE(img_dim=16)
+    x = jnp.asarray(rng.normal(size=(3, 16, 16, 1)).astype(np.float32))
+    ts = jnp.asarray([0.2, 0.5, 0.8])
+    key = jax.random.PRNGKey(0)
+    x_t, mean, eps = sde.perturb_data(x, ts, key)
+    manual_mean = sde.y2x(batch_mul(sde.y_mean_coef(ts), sde.x2y(x)))
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(manual_mean), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(x_t),
+        np.asarray(mean + batch_mul(sde.y_std_coef(ts), eps)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    # at t->0 the perturbation is nearly the identity on the mean
+    x_t0, mean0, _ = sde.perturb_data(x, jnp.asarray([1e-4] * 3), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(mean0), np.asarray(x), rtol=1e-2, atol=5e-3)
+
+
+def test_blur_xeps2x0_roundtrip(rng):
+    """xeps2x0 recovers the clean image given the true eps."""
+    sde = BlurSDE(img_dim=16)
+    x0 = jnp.asarray(rng.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    ts = jnp.asarray([0.3, 0.6])
+    x_t, mean, eps = sde.perturb_data(x0, ts, jax.random.PRNGKey(2))
+    rec = sde.xeps2x0(x_t, ts, eps)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), rtol=1e-3, atol=1e-3)
+
+
+def test_blur_order0_sampler_exact_on_gaussian():
+    """With the exact y-space eps for unit-Gaussian pixel data the sampler's
+    final marginal must match the data: each DCT coefficient has
+    y_t ~ N(0, m_t^2 + s_t^2) and eps_y(y, t) = s_t y / (m_t^2 + s_t^2)...
+    simpler invariant: for data == 0, exact eps_y = y / s_t recovers y0 == 0.
+    """
+    import ml_collections
+
+    from gddim_tpu.samplers.blur import build_blur_sampler
+
+    sde = BlurSDE(img_dim=8)
+    cfg = ml_collections.ConfigDict()
+    cfg.sampling = dict(method="order0", nfe=20, ts_order=2)
+
+    def yeps_apply(variables, y, t_vec):
+        del variables
+        return batch_mul(1.0 / sde.y_std_coef(t_vec), y)
+
+    fn = build_blur_sampler(cfg, sde, yeps_apply, (8, 8, 1), lambda x: x)
+    x, nfe = fn(jax.random.PRNGKey(0), {}, batch_size=16)
+    assert nfe == 20
+    assert x.shape == (16, 8, 8, 1)
+    # delta data at 0: the exact eps pulls every sample to ~0
+    assert np.abs(np.asarray(x)).max() < 0.05
+
+
+def test_blur_sampler_preserves_gaussian_marginals():
+    """For x0 ~ N(0, I): the exact eps_y is s_t y/(m_t^2+s_t^2); running the
+    order-0 sampler must land near N(0, I) in pixel space."""
+    import ml_collections
+
+    from gddim_tpu.samplers.blur import build_blur_sampler
+
+    sde = BlurSDE(img_dim=8)
+    cfg = ml_collections.ConfigDict()
+    cfg.sampling = dict(method="order0", nfe=100, ts_order=2)
+
+    def yeps_apply(variables, y, t_vec):
+        del variables
+        m = sde.y_mean_coef(t_vec)
+        s = sde.y_std_coef(t_vec)
+        var = m * m + batch_mul(s * s, jnp.ones_like(y))
+        return batch_mul(s, y) / var
+
+    fn = build_blur_sampler(cfg, sde, yeps_apply, (8, 8, 1), lambda x: x)
+    x, _ = fn(jax.random.PRNGKey(3), {}, batch_size=512)
+    std = np.asarray(x).std()
+    assert abs(std - 1.0) < 0.1, std

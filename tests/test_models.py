@@ -1,0 +1,188 @@
+"""Model zoo tests: shapes, param structure, wrappers, bf16 path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gddim_tpu.configs import get_config
+from gddim_tpu.math.cld import CLD
+from gddim_tpu.math.cld_host import CLDParams
+from gddim_tpu.models import (
+    get_model,
+    init_model,
+    make_cld_eps_fn,
+    stack_uv_to_channels,
+    unstack_channels_to_uv,
+)
+
+
+def small_cld_config():
+    cfg = get_config("cld/simple_cifar10")
+    cfg.data.image_size = 16
+    cfg.model.attn_resolutions = (8,)
+    return cfg
+
+
+def test_channel_stacking_roundtrip():
+    u = jnp.arange(2 * 4 * 4 * 3 * 2, dtype=jnp.float32).reshape(2, 4, 4, 3, 2)
+    h = stack_uv_to_channels(u)
+    assert h.shape == (2, 4, 4, 6)
+    # order: [x-ch0, x-ch1, x-ch2, v-ch0, v-ch1, v-ch2] ("(g d)" grouping)
+    np.testing.assert_allclose(np.asarray(h[..., :3]), np.asarray(u[..., 0]))
+    np.testing.assert_allclose(np.asarray(h[..., 3:]), np.asarray(u[..., 1]))
+    back = unstack_channels_to_uv(h)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(u))
+
+
+def test_ncsnpp_init_and_forward():
+    cfg = small_cld_config()
+    rng = jax.random.PRNGKey(0)
+    model, state, params = init_model(rng, cfg)
+    b = 2
+    x = jnp.zeros((b, 16, 16, 6))
+    t = jnp.ones((b,)) * 0.5
+    out = model.apply({"params": params, **state}, x, t * 999, train=False, mutable=False)
+    assert out.shape == x.shape
+    assert jnp.isfinite(out).all()
+
+
+def test_ncsnpp_dropout_needs_rng():
+    cfg = small_cld_config()
+    # init_scale=0 zeroes every post-dropout conv at init (reference default),
+    # which would mask dropout; use a non-degenerate init for this test.
+    cfg.model.init_scale = 1.0
+    model, state, params = init_model(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 6))
+    t = jnp.ones((2,)) * 500.0
+    out1 = model.apply(
+        {"params": params, **state},
+        x,
+        t,
+        train=True,
+        mutable=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    out2 = model.apply(
+        {"params": params, **state},
+        x,
+        t,
+        train=True,
+        mutable=False,
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_cld_eps_wrapper_and_mixed_score():
+    cfg = small_cld_config()
+    model, state, params = init_model(jax.random.PRNGKey(0), cfg)
+    sde = CLD.create(CLDParams(), mixed_score=False)
+    eps_apply = make_cld_eps_fn(sde, model, train=False)
+    u = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3, 2))
+    t = jnp.asarray([0.3, 0.7])
+    eps = eps_apply({"params": params, **state}, u, t)
+    assert eps.shape == u.shape
+
+    sde_ms = CLD.create(CLDParams(), mixed_score=True)
+    eps_apply_ms = make_cld_eps_fn(sde_ms, model, train=False)
+    eps_ms = eps_apply_ms({"params": params, **state}, u, t)
+    # mixed-score adds invR(t) @ [0, v]
+    from gddim_tpu.math.linalg2 import bmm, inv2
+
+    extra = bmm(inv2(sde.R(t)), u.at[..., 0].set(0.0))
+    np.testing.assert_allclose(
+        np.asarray(eps_ms), np.asarray(eps + extra), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_flagship_architecture_builds():
+    """accr_dcifar10: 8 biggan blocks, FIR, progressive_input=residual."""
+    cfg = get_config("cld/accr_dcifar10")
+    cfg.model.nf = 16  # shrink width only; keep depth/structure
+    cfg.model.num_res_blocks = 2
+    model, state, params = init_model(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 32, 32, 6))
+    out = model.apply(
+        {"params": params, **state}, x, jnp.ones((1,)), train=False, mutable=False
+    )
+    assert out.shape == x.shape
+    # parameter tree uses reference-compatible auto-numbered scope names
+    names = set(params.keys())
+    assert "GaussianFourierProjection_0" in names
+    assert "Dense_0" in names and "Dense_1" in names
+    assert "Conv_0" in names and "Conv_1" in names
+    assert any(n.startswith("ResnetBlockBigGANpp_") for n in names)
+    assert any(n.startswith("AttnBlockpp_") for n in names)
+    assert any(n.startswith("Downsample_") for n in names)
+    assert "GroupNorm_0" in names
+
+
+def test_bfloat16_path():
+    cfg = small_cld_config()
+    cfg.model.dtype = "bfloat16"
+    model, state, params = init_model(jax.random.PRNGKey(0), cfg)
+    # params stay f32
+    leaf_dtypes = {str(x.dtype) for x in jax.tree.leaves(params)}
+    assert leaf_dtypes == {"float32"}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 6))
+    out = model.apply(
+        {"params": params, **state}, x, jnp.ones((2,)) * 500, train=False, mutable=False
+    )
+    assert out.dtype == jnp.float32  # head casts back
+    assert jnp.isfinite(out).all()
+    # bf16 output tracks the f32 output
+    cfg32 = small_cld_config()
+    model32, state32, params32 = init_model(jax.random.PRNGKey(0), cfg32)
+    out32 = model32.apply(
+        {"params": params32, **state32},
+        x,
+        jnp.ones((2,)) * 500,
+        train=False,
+        mutable=False,
+    )
+    rel = np.abs(np.asarray(out) - np.asarray(out32)).max() / (
+        np.abs(np.asarray(out32)).max() + 1e-8
+    )
+    assert rel < 0.1
+
+
+def test_ps_fmlp():
+    cfg = get_config("cld/points")
+    model, state, params = init_model(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    out = model.apply({"params": params, **state}, x, jnp.ones((8,)), train=False, mutable=False)
+    assert out.shape == (8, 4)
+
+
+def test_ddpm_resblock_and_positional_embedding():
+    cfg = get_config("cld/ddpmpp_cifar10")
+    cfg.model.nf = 16
+    cfg.model.num_res_blocks = 1
+    cfg.model.ch_mult = (1, 2)
+    cfg.model.resblock_type = "ddpm"
+    cfg.data.image_size = 16
+    cfg.model.attn_resolutions = (8,)
+    model, state, params = init_model(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 16, 16, 6))
+    out = model.apply(
+        {"params": params, **state}, x, jnp.ones((1,)) * 500, train=False, mutable=False
+    )
+    assert out.shape == x.shape
+
+
+def test_progressive_modes_build():
+    for progressive, progressive_input in [
+        ("output_skip", "input_skip"),
+        ("residual", "residual"),
+    ]:
+        cfg = small_cld_config()
+        cfg.model.progressive = progressive
+        cfg.model.progressive_input = progressive_input
+        cfg.model.progressive_combine = "cat" if progressive_input == "input_skip" else "sum"
+        model, state, params = init_model(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((1, 16, 16, 6))
+        out = model.apply(
+            {"params": params, **state}, x, jnp.ones((1,)), train=False, mutable=False
+        )
+        assert out.shape == x.shape, (progressive, progressive_input)

@@ -1,0 +1,124 @@
+"""FIR resampling: TPU-native dilated-conv pipeline vs a direct reference-style
+implementation of upfirdn (zero-insert -> pad -> 2D filter -> decimate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gddim_tpu.models import resample
+
+
+def ref_upfirdn_2d(x, k2d, up, down, pad0, pad1):
+    """Direct numpy port of the upfirdn semantics (reference
+    up_or_down_sampling.py:212-294) for testing."""
+    n, h, w, c = x.shape
+    # zero-insert
+    y = np.zeros((n, h * up, w * up, c), dtype=x.dtype)
+    y[:, ::up, ::up, :] = x
+    # pad
+    y = np.pad(y, [(0, 0), (pad0, pad1), (pad0, pad1), (0, 0)])
+    # correlate with flipped kernel (VALID)
+    kh, kw = k2d.shape
+    kk = k2d[::-1, ::-1]
+    out_h = y.shape[1] - kh + 1
+    out_w = y.shape[2] - kw + 1
+    out = np.zeros((n, out_h, out_w, c), dtype=np.float64)
+    for i in range(kh):
+        for j in range(kw):
+            out += kk[i, j] * y[:, i : i + out_h, j : j + out_w, :]
+    return out[:, ::down, ::down, :]
+
+
+def _setup_k(k, gain=1.0):
+    k = np.asarray(k, dtype=np.float64)
+    k2 = np.outer(k, k)
+    return k2 / k2.sum() * gain
+
+
+@pytest.fixture
+def x(rng):
+    return rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+
+
+FIR_K = (1.0, 3.0, 3.0, 1.0)
+
+
+def test_upsample_2d_matches_reference(x):
+    k2d = _setup_k(FIR_K, gain=4.0)
+    p = 4 - 2
+    exp = ref_upfirdn_2d(x, k2d, up=2, down=1, pad0=(p + 1) // 2 + 1, pad1=p // 2)
+    got = np.asarray(resample.upsample_2d(jnp.asarray(x), FIR_K, factor=2))
+    assert got.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+def test_downsample_2d_matches_reference(x):
+    k2d = _setup_k(FIR_K, gain=1.0)
+    p = 4 - 2
+    exp = ref_upfirdn_2d(x, k2d, up=1, down=2, pad0=(p + 1) // 2, pad1=p // 2)
+    got = np.asarray(resample.downsample_2d(jnp.asarray(x), FIR_K, factor=2))
+    assert got.shape == (2, 4, 4, 3)
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+def test_up_down_roundtrip_preserves_constant():
+    """FIR up/down of a constant image preserves level (filters normalized)."""
+    x = jnp.ones((1, 8, 8, 2))
+    up = resample.upsample_2d(x, FIR_K, factor=2)
+    np.testing.assert_allclose(np.asarray(up)[0, 4:-4, 4:-4], 1.0, rtol=1e-5)
+    down = resample.downsample_2d(up, FIR_K, factor=2)
+    np.testing.assert_allclose(np.asarray(down)[0, 2:-2, 2:-2], 1.0, rtol=1e-5)
+
+
+def test_upsample_conv_2d_matches_composed(x):
+    """Fused upsample+conv == conv_transpose then FIR (reference :89-165)."""
+    rng = jax.random.PRNGKey(0)
+    w = jax.random.normal(rng, (3, 3, 3, 5)) * 0.1
+    got = resample.upsample_conv_2d(jnp.asarray(x), w, FIR_K, factor=2)
+    assert got.shape == (2, 16, 16, 5)
+    # compose manually exactly as the reference does (up_or_down_sampling.py
+    # :139-158): pre-flip + channel-swap the kernel, then conv_transpose with
+    # transpose_kernel=True, then the FIR cleanup.
+    w_t = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    y = jax.lax.conv_transpose(
+        jnp.asarray(x),
+        w_t,
+        strides=(2, 2),
+        padding="VALID",
+        transpose_kernel=True,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    k2d = _setup_k(FIR_K, gain=4.0)
+    p = (4 - 2) - 2
+    exp = ref_upfirdn_2d(
+        np.asarray(y), k2d, up=1, down=1, pad0=(p + 1) // 2 + 1, pad1=p // 2 + 1
+    )
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_downsample_2d_shape_and_values(x):
+    rng = jax.random.PRNGKey(1)
+    w = jax.random.normal(rng, (3, 3, 3, 4)) * 0.1
+    got = resample.conv_downsample_2d(jnp.asarray(x), w, FIR_K, factor=2)
+    assert got.shape == (2, 4, 4, 4)
+    k2d = _setup_k(FIR_K, gain=1.0)
+    p = (4 - 2) + 2
+    y = ref_upfirdn_2d(x, k2d, up=1, down=1, pad0=(p + 1) // 2, pad1=p // 2)
+    exp = jax.lax.conv_general_dilated(
+        jnp.asarray(y, dtype=jnp.float32),
+        w,
+        window_strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), rtol=1e-4, atol=1e-5)
+
+
+def test_naive_resampling():
+    x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    up = resample.naive_upsample_2d(x)
+    assert up.shape == (1, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(up)[0, :2, :2, 0], 0.0)
+    down = resample.naive_downsample_2d(up)
+    np.testing.assert_allclose(np.asarray(down), np.asarray(x))
