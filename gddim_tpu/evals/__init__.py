@@ -1,0 +1,7 @@
+from gddim_tpu.evals.fid import (
+    frechet_distance,
+    inception_score,
+    activation_stats,
+    load_dataset_stats,
+)
+from gddim_tpu.evals.features import get_feature_extractor, run_features_sharded

@@ -1,0 +1,77 @@
+"""Device mesh + sharding helpers (TPU-native replacement for pmap).
+
+The reference parallelizes with `jax.pmap(lax.scan(step))` over one axis
+(cld_jax/run_lib.py:144-149) and `lax.pmean` collectives (losses.py:142).
+Here a `jax.sharding.Mesh` with `NamedSharding` drives one global `jit`:
+the batch is sharded over the 'data' axis, parameters are replicated (or
+FSDP-sharded over the same axis when configured), and XLA inserts the gradient
+all-reduce over ICI automatically. Multi-host extends the same code path via
+`jax.distributed.initialize` — no filesystem polling (reference
+run_lib.py:560-617) needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or n_data) devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None or n_data <= 0:
+        n_data = len(devices)
+    return Mesh(np.asarray(devices[:n_data]).reshape(n_data), ("data",))
+
+
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    """2-D (data, model) mesh for dp x tp/fsdp experiments."""
+    devices = devices if devices is not None else jax.devices()
+    assert n_data * n_model <= len(devices)
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch with its leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Replicate a pytree (params/state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**16):
+    """Shard large parameter leaves over the 'data' axis (ZeRO-3 style).
+
+    Each leaf whose largest axis is divisible by the mesh size and whose total
+    size exceeds `min_size` is sharded along that axis; the rest replicate.
+    XLA then all-gathers weights on use and reduce-scatters grads — the
+    standard FSDP schedule, expressed purely through shardings.
+    """
+    n = mesh.devices.size
+
+    def shard_one(x):
+        if x.size >= min_size:
+            axis = int(np.argmax(x.shape))
+            if x.shape[axis] % n == 0:
+                spec = [None] * x.ndim
+                spec[axis] = "data"
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(shard_one, params)

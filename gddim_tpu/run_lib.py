@@ -1,0 +1,418 @@
+"""Run orchestration: train / evaluate / sampling / fid modes.
+
+Mirrors the reference surface (cld_jax/run_lib.py: train :76, evaluate :278,
+sample_data :674, check_fid :735, fid_stats :796) on the TPU-native stack:
+one jitted train step over a `Mesh` instead of pmap, orbax two-tier
+checkpoints instead of flax.training.checkpoints, JSONL metrics instead of a
+mandatory wandb, and a JAX feature extractor for FID instead of TF-Hub.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gddim_tpu import checkpoints as ckpt_lib
+from gddim_tpu.configs import get_config  # noqa: F401  (re-export convenience)
+from gddim_tpu.data import (
+    get_data_inverse_scaler,
+    get_data_scaler,
+    get_data_shape,
+    get_dataset,
+)
+from gddim_tpu.evals import (
+    activation_stats,
+    frechet_distance,
+    get_feature_extractor,
+    inception_score,
+    load_dataset_stats,
+    run_features_sharded,
+)
+from gddim_tpu.math.blur import from_config as blur_from_config
+from gddim_tpu.math.cld import CLD
+from gddim_tpu.models import init_model, make_blur_yeps_fn, make_cld_eps_fn
+from gddim_tpu.parallel import make_mesh, replicate_to_mesh
+from gddim_tpu.samplers.blur import build_blur_sampler_from_config
+from gddim_tpu.samplers.factory import build_cld_sampler
+from gddim_tpu.train import (
+    create_train_state,
+    make_blur_loss_fn,
+    make_cld_loss_fn,
+    make_eval_step,
+    make_train_step,
+)
+from gddim_tpu.utils.images import save_image, save_pointset
+from gddim_tpu.utils.logging import MetricsLogger
+
+logger = logging.getLogger("gddim_tpu")
+
+
+def is_cld(config) -> bool:
+    return str(getattr(config, "sde", "cld")).lower() == "cld"
+
+
+def build_sde(config):
+    if is_cld(config):
+        return CLD.from_config(config)
+    return blur_from_config(config)
+
+
+def build_sampling_fn(config, sde, model, inverse_scaler):
+    """sample_fn(rng, variables, batch_size) -> (x, [v,] nfe)."""
+    data_shape = get_data_shape(config)
+    if is_cld(config):
+        eps_apply = make_cld_eps_fn(sde, model, train=False)
+        return build_cld_sampler(config, sde, eps_apply, data_shape, inverse_scaler)
+    yeps_apply = make_blur_yeps_fn(sde, model, train=False)
+    return build_blur_sampler_from_config(
+        config, sde, yeps_apply, data_shape, inverse_scaler
+    )
+
+
+def _ema_variables(state):
+    ms = state.model_state if isinstance(state.model_state, dict) else dict(state.model_state)
+    return {"params": state.params_ema, **ms}
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+
+def train(config, workdir: str):
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    sample_dir = workdir / "samples"
+    metrics = MetricsLogger(workdir, config=config)
+
+    rng = jax.random.PRNGKey(config.seed)
+    rng, init_rng, state_rng = jax.random.split(rng, 3)
+    model, model_state, params = init_model(init_rng, config)
+    state = create_train_state(state_rng, config, params, model_state)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info("model %s: %.2fM params", config.model.name, n_params / 1e6)
+
+    mgr = ckpt_lib.CheckpointManager(workdir)
+    state, initial_step = mgr.restore_latest_meta(state)
+    initial_step = int(np.asarray(state.step))
+
+    mesh = make_mesh()
+    state = replicate_to_mesh(state, mesh)
+
+    n_jitted = int(config.training.n_jitted_steps)
+    train_iter, eval_iter = get_dataset(
+        config,
+        additional_dim=n_jitted,
+        uniform_dequantization=config.data.uniform_dequantization,
+    )
+    scaler = get_data_scaler(config)
+    inverse_scaler = get_data_inverse_scaler(config)
+
+    sde = build_sde(config)
+    if is_cld(config):
+        loss_fn = make_cld_loss_fn(
+            sde, model, train=True, reduce_mean=config.training.reduce_mean,
+            likelihood_weighting=config.training.likelihood_weighting,
+        )
+        eval_loss_fn = make_cld_loss_fn(
+            sde, model, train=False, reduce_mean=config.training.reduce_mean
+        )
+    else:
+        loss_fn = make_blur_loss_fn(
+            sde, model, train=True, reduce_mean=config.training.reduce_mean
+        )
+        eval_loss_fn = make_blur_loss_fn(
+            sde, model, train=False, reduce_mean=config.training.reduce_mean
+        )
+    train_step = make_train_step(config, loss_fn, mesh=mesh)
+    eval_step = make_eval_step(config, eval_loss_fn)
+
+    sampling_fn = None
+    if config.training.snapshot_sampling:
+        sampling_fn = build_sampling_fn(config, sde, model, inverse_scaler)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P(None, "data"))
+
+    def put_batch(batch):
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(scaler(x)), batch_sharding), batch
+        )
+
+    n_iters = int(config.training.n_iters)
+    log_freq = int(config.training.log_freq)
+    eval_freq = int(config.training.eval_freq)
+    snapshot_freq = int(config.training.snapshot_freq)
+    preempt_freq = int(config.training.snapshot_freq_for_preemption)
+    sampling_freq = int(
+        getattr(config.training, "snapshot_freq_for_sampling", snapshot_freq)
+    )
+
+    logger.info("starting training at step %d", initial_step)
+    t_last = time.time()
+    for step in range(initial_step, n_iters, n_jitted):
+        batch = put_batch(next(train_iter))
+        state, info = train_step(state, batch)
+        cur = step + n_jitted
+
+        if cur % log_freq < n_jitted:
+            loss = float(np.asarray(info["score_loss"]))
+            dt = time.time() - t_last
+            t_last = time.time()
+            ips = config.training.batch_size * log_freq / max(dt, 1e-9)
+            logger.info("step %d loss %.5f (%.1f img/s)", cur, loss, ips)
+            metrics.log({"train/score_loss": loss, "train/imgs_per_sec": ips}, cur)
+
+        if cur % preempt_freq < n_jitted:
+            mgr.save_meta(cur, jax.device_get(state))
+
+        if cur % eval_freq < n_jitted:
+            eval_batch = jax.tree.map(
+                lambda x: jnp.asarray(scaler(x[0] if x.ndim > 3 else x)),
+                next(eval_iter),
+            )
+            rng, eval_rng = jax.random.split(rng)
+            einfo = eval_step(state, eval_batch, eval_rng)
+            metrics.log(
+                {"eval/score_loss": float(np.asarray(einfo["score_loss"]))}, cur
+            )
+
+        if cur % snapshot_freq < n_jitted:
+            mgr.save_snapshot(cur // snapshot_freq, jax.device_get(state))
+
+        if sampling_fn is not None and cur % sampling_freq < n_jitted:
+            rng, sample_rng = jax.random.split(rng)
+            out = sampling_fn(
+                sample_rng,
+                _ema_variables(state),
+                int(config.training.snapshot_sampling_batch),
+            )
+            x = np.asarray(out[0])
+            this_dir = sample_dir / f"iter_{cur}"
+            this_dir.mkdir(parents=True, exist_ok=True)
+            if x.ndim == 4:
+                save_image(x[:64], this_dir / "sample.png")
+            else:
+                save_pointset(x, this_dir / "sample.png")
+
+    mgr.save_meta(n_iters, jax.device_get(state))
+    mgr.wait()
+    metrics.close()
+    return state
+
+
+# ---------------------------------------------------------------------------
+# sampling / FID
+# ---------------------------------------------------------------------------
+
+
+def restore_state(config, ckpt: str | int, workdir: str | None = None):
+    """Restore a TrainState from an orbax snapshot id or a legacy msgpack file."""
+    rng = jax.random.PRNGKey(config.seed)
+    model, model_state, params = init_model(rng, config)
+    state = create_train_state(jax.random.PRNGKey(0), config, params, model_state)
+    ckpt_path = Path(str(ckpt))
+    if ckpt_path.exists() and ckpt_path.is_file():
+        legacy = ckpt_lib.load_legacy_checkpoint(ckpt_path)
+        state = ckpt_lib.legacy.into_train_state(legacy, state)
+        return model, state
+    if workdir is None:
+        raise ValueError("numeric checkpoint id requires --workdir")
+    mgr = ckpt_lib.CheckpointManager(workdir)
+    state = mgr.restore_snapshot(int(ckpt), state)
+    return model, state
+
+
+def sampling_from_fn(config, sampling_fn, state, result_folder: Path,
+                     num_samples: int, batch_size: int, seed: int = 0,
+                     is_continue: bool = True):
+    """Round loop writing samples_<r>.npz (reference run_lib.py:646-731)."""
+    result_folder.mkdir(parents=True, exist_ok=True)
+    variables = _ema_variables(state)
+    rng = jax.random.PRNGKey(seed)
+    n_rounds = int(np.ceil(num_samples / batch_size))
+    for r in range(n_rounds):
+        out_path = result_folder / f"samples_{r}.npz"
+        rng, sample_rng = jax.random.split(rng)
+        if is_continue and out_path.exists():
+            continue
+        t0 = time.time()
+        out = sampling_fn(sample_rng, variables, batch_size)
+        if len(out) == 3:
+            x, v, nfe = out
+            extra = {"v": np.asarray(v)}
+        else:
+            x, nfe = out
+            extra = {}
+        x8 = np.clip(np.asarray(x) * 255.0, 0, 255).astype(np.uint8)
+        np.savez_compressed(out_path, samples=x8, nfe=nfe, **extra)
+        logger.info(
+            "round %d/%d: %d samples in %.1fs (nfe=%s)",
+            r + 1, n_rounds, batch_size, time.time() - t0, nfe,
+        )
+    return n_rounds
+
+
+def sample_data(config, ckpt: str, result_folder: str, workdir: str | None = None):
+    """Generate config.eval.num_samples samples (reference run_lib.py:674-731)."""
+    result_folder = Path(result_folder)
+    model, state = restore_state(config, ckpt, workdir)
+    inverse_scaler = get_data_inverse_scaler(config)
+    sde = build_sde(config)
+    sampling_fn = build_sampling_fn(config, sde, model, inverse_scaler)
+    return sampling_from_fn(
+        config,
+        sampling_fn,
+        state,
+        result_folder,
+        int(config.eval.num_samples),
+        int(config.eval.batch_size),
+        seed=config.seed,
+    )
+
+
+def _load_samples(result_folder: Path):
+    files = sorted(
+        result_folder.glob("samples_*.npz"),
+        key=lambda p: int(p.stem.split("_")[1]),
+    )
+    if not files:
+        raise FileNotFoundError(f"no samples_*.npz under {result_folder}")
+    arrays, nfe = [], 0
+    for f in files:
+        with np.load(f) as z:
+            arrays.append(z["samples"])
+            nfe = int(np.asarray(z["nfe"]))
+    return np.concatenate(arrays), nfe
+
+
+def check_fid(config, result_folder: str):
+    """Score generated samples: IS + FID vs dataset stats
+    (reference run_lib.py:735-791). Writes report.npz {IS, fid, nfe}."""
+    result_folder = Path(result_folder)
+    samples, nfe = _load_samples(result_folder)
+    samples = samples[: int(config.eval.num_samples)]
+    extractor = get_feature_extractor(config)
+    mesh = make_mesh()
+    pools, logits = run_features_sharded(extractor, samples, mesh=mesh)
+
+    stats_path = str(getattr(config.eval, "stats_path", "") or "")
+    if stats_path and Path(stats_path).exists():
+        mu_ref, sigma_ref = load_dataset_stats(stats_path)
+    else:
+        logger.warning("no stats file; computing dataset stats on the fly")
+        mu_ref, sigma_ref = _dataset_stats(config, extractor, mesh)
+
+    mu, sigma = activation_stats(pools)
+    fid = frechet_distance(mu, sigma, mu_ref, sigma_ref)
+    is_score = inception_score(logits)
+    report = {
+        "IS": is_score,
+        "fid": fid,
+        "nfe": nfe,
+        "extractor": extractor.name,
+        "n": len(samples),
+    }
+    np.savez(result_folder / "report.npz", **report)
+    logger.info("FID report: %s", report)
+    return report
+
+
+def _dataset_stats(config, extractor, mesh):
+    train_iter, _ = get_dataset(config, evaluation=True)
+    n_target = min(int(config.eval.num_samples), 50_000)
+    imgs = []
+    seen = 0
+    while seen < n_target:
+        batch = next(train_iter)["image"]
+        imgs.append((batch * 255).astype(np.uint8))
+        seen += len(batch)
+    images = np.concatenate(imgs)[:n_target]
+    pools, _ = run_features_sharded(extractor, images, mesh=mesh)
+    return activation_stats(pools)
+
+
+def fid_stats(config, out_path: str | None = None):
+    """Precompute dataset activation stats (reference run_lib.py:796-844)."""
+    from gddim_tpu.evals.fid import save_dataset_stats
+
+    extractor = get_feature_extractor(config)
+    mesh = make_mesh()
+    mu, sigma = _dataset_stats(config, extractor, mesh)
+    out = Path(
+        out_path
+        or (Path("assets/stats") / f"{config.data.dataset.lower()}_{extractor.name}_stats.npz")
+    )
+    save_dataset_stats(out, mu, sigma)
+    logger.info("wrote dataset stats to %s", out)
+    return str(out)
+
+
+# ---------------------------------------------------------------------------
+# evaluate (loss + FID over a checkpoint range, preemption-resumable)
+# ---------------------------------------------------------------------------
+
+
+def evaluate(config, workdir: str, eval_folder: str = "eval"):
+    """Evaluate checkpoints begin_ckpt..end_ckpt (reference run_lib.py:278-671).
+
+    Loss over the eval split and (optionally) sampling + FID per checkpoint,
+    with a JSON meta file making the loop resumable after preemption
+    (replacing the reference's EvalMeta flax checkpoint, run_lib.py:373-404).
+    """
+    import json
+
+    workdir = Path(workdir)
+    eval_dir = workdir / eval_folder
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    meta_path = eval_dir / "eval_meta.json"
+    done = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+
+    sde = build_sde(config)
+    inverse_scaler = get_data_inverse_scaler(config)
+    scaler = get_data_scaler(config)
+    mgr = ckpt_lib.CheckpointManager(workdir)
+    available = mgr.snapshot_steps()
+    results = {}
+    for ckpt_id in range(int(config.eval.begin_ckpt), int(config.eval.end_ckpt) + 1):
+        if ckpt_id not in available:
+            continue
+        key = str(ckpt_id)
+        if key in done:
+            results[key] = done[key]
+            continue
+        model, state = restore_state(config, ckpt_id, workdir)
+        entry = {}
+        if config.eval.enable_loss:
+            loss_builder = make_cld_loss_fn if is_cld(config) else make_blur_loss_fn
+            eval_loss_fn = loss_builder(sde, model, train=False)
+            eval_step = make_eval_step(config, eval_loss_fn)
+            _, eval_iter = get_dataset(config, evaluation=True)
+            losses = []
+            rng = jax.random.PRNGKey(config.seed)
+            for _ in range(8):
+                batch = jax.tree.map(lambda x: jnp.asarray(scaler(x)), next(eval_iter))
+                rng, sub = jax.random.split(rng)
+                info = eval_step(state, batch, sub)
+                losses.append(float(np.asarray(info["score_loss"])))
+            entry["eval_loss"] = float(np.mean(losses))
+        if config.eval.enable_sampling:
+            sampling_fn = build_sampling_fn(config, sde, model, inverse_scaler)
+            folder = eval_dir / f"ckpt_{ckpt_id}"
+            sampling_from_fn(
+                config, sampling_fn, state, folder,
+                int(config.eval.num_samples), int(config.eval.batch_size),
+                seed=config.seed,
+            )
+            entry.update(check_fid(config, folder))
+        results[key] = entry
+        done[key] = entry
+        meta_path.write_text(json.dumps(done, indent=2))
+        logger.info("ckpt %d: %s", ckpt_id, entry)
+    return results

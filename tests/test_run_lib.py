@@ -1,0 +1,141 @@
+"""End-to-end integration: train -> checkpoint -> sample -> FID via run_lib/CLI."""
+
+import numpy as np
+import pytest
+
+from gddim_tpu.configs import get_config
+
+
+def tiny_image_config():
+    cfg = get_config("cld/simple_cifar10")
+    cfg.data.image_size = 16
+    cfg.model.attn_resolutions = (8,)
+    cfg.model.nf = 16
+    cfg.training.batch_size = 8
+    cfg.training.n_jitted_steps = 2
+    cfg.training.n_iters = 9
+    cfg.training.log_freq = 4
+    cfg.training.eval_freq = 4
+    cfg.training.snapshot_freq = 4
+    cfg.training.snapshot_freq_for_preemption = 4
+    cfg.training.snapshot_freq_for_sampling = 8
+    cfg.training.snapshot_sampling_batch = 8
+    cfg.sampling.nfe = 4
+    cfg.sampling.deis_order = 1
+    cfg.eval.num_samples = 16
+    cfg.eval.batch_size = 8
+    return cfg
+
+
+@pytest.mark.slow
+def test_cld_train_sample_fid_end_to_end(tmp_path):
+    from gddim_tpu import run_lib
+
+    cfg = tiny_image_config()
+    workdir = tmp_path / "run"
+    state = run_lib.train(cfg, str(workdir))
+    assert int(np.asarray(state.step)) >= 8
+    assert (workdir / "metrics.jsonl").exists()
+    assert (workdir / "checkpoints").exists()
+
+    # sampling from a numbered snapshot
+    snap_ids = sorted(
+        int(p.name) for p in (workdir / "checkpoints").iterdir() if p.name.isdigit()
+    )
+    result = tmp_path / "results"
+    run_lib.sample_data(cfg, str(snap_ids[-1]), str(result), workdir=str(workdir))
+    files = list(result.glob("samples_*.npz"))
+    assert len(files) == 2  # 16 samples / batch 8
+    with np.load(files[0]) as z:
+        assert z["samples"].shape == (8, 16, 16, 3)
+        assert z["samples"].dtype == np.uint8
+        assert "v" in z
+
+    report = run_lib.check_fid(cfg, str(result))
+    assert np.isfinite(report["fid"])
+    assert report["nfe"] == 4
+    assert (result / "report.npz").exists()
+
+
+@pytest.mark.slow
+def test_blur_train_and_sample(tmp_path):
+    from gddim_tpu import run_lib
+
+    cfg = get_config("blur/simple_cifar10")
+    cfg.data.image_size = 16
+    cfg.model.attn_resolutions = (8,)
+    cfg.model.nf = 16
+    cfg.training.batch_size = 8
+    cfg.training.n_jitted_steps = 1
+    cfg.training.n_iters = 4
+    cfg.training.log_freq = 2
+    cfg.training.eval_freq = 100
+    cfg.training.snapshot_freq = 2
+    cfg.training.snapshot_freq_for_preemption = 100
+    cfg.training.snapshot_freq_for_sampling = 1000
+    cfg.sampling.nfe = 4
+    cfg.eval.num_samples = 8
+    cfg.eval.batch_size = 8
+    workdir = tmp_path / "blur_run"
+    run_lib.train(cfg, str(workdir))
+    result = tmp_path / "blur_results"
+    run_lib.sample_data(cfg, "2", str(result), workdir=str(workdir))
+    with np.load(result / "samples_0.npz") as z:
+        assert z["samples"].shape == (8, 16, 16, 3)
+        assert "v" not in z  # blur samples have no velocity channel
+
+
+def test_cli_override_parsing():
+    from gddim_tpu.cli import _apply_overrides
+
+    cfg = get_config("cld/points")
+    _apply_overrides(
+        cfg,
+        [
+            "--config.sampling.nfe=50",
+            "--config.sampling.method=sdeis",
+            "--config.optim.lr=0.001",
+        ],
+    )
+    assert cfg.sampling.nfe == 50
+    assert cfg.sampling.method == "sdeis"
+    assert cfg.optim.lr == 0.001
+
+
+def test_result_folder_naming():
+    from gddim_tpu.cli import resolve_result_folder
+
+    cfg = get_config("cld/default_cifar10")
+    cfg.sampling.method = "deis"
+    cfg.sampling.nfe = 50
+    cfg.sampling.deis_order = 2
+    name = resolve_result_folder(cfg, None, "checkpoint_15")
+    assert "deis" in name and "nfe50" in name and "order2" in name
+    assert resolve_result_folder(cfg, "explicit", "x") == "explicit"
+
+
+def test_preemption_resume(tmp_path):
+    """Training resumes from the keep-1 meta checkpoint (reference
+    run_lib.py:108-114 semantics)."""
+    from gddim_tpu import run_lib
+
+    cfg = get_config("cld/points")
+    cfg.model.nf = 16
+    cfg.model.num_layers = 1
+    cfg.training.batch_size = 32
+    cfg.training.n_jitted_steps = 2
+    cfg.training.n_iters = 5
+    cfg.training.log_freq = 2
+    cfg.training.eval_freq = 1000
+    cfg.training.snapshot_freq = 1000
+    cfg.training.snapshot_freq_for_preemption = 2
+    cfg.training.snapshot_freq_for_sampling = 10000
+    cfg.training.snapshot_sampling = False
+    workdir = tmp_path / "resume"
+    state1 = run_lib.train(cfg, str(workdir))
+    step1 = int(np.asarray(state1.step))
+    # "preempt" and restart with more iters: must resume, not restart
+    cfg.training.n_iters = 9
+    state2 = run_lib.train(cfg, str(workdir))
+    step2 = int(np.asarray(state2.step))
+    assert step2 > step1 >= 4
