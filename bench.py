@@ -1,0 +1,139 @@
+"""Benchmark: images/sec/chip for NFE=50 CIFAR-10 CLD sampling (the headline).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+
+- optimized path: bf16 activations, MXU-shaped attention, separable-depthwise
+  FIR, scan sampler with donated buffers.
+- x1 baseline: the reference implementation style on the same hardware — f32,
+  the reference's (B,H,W,H,W) einsum attention and channel-in-batch upfirdn
+  (the reference publishes no throughput numbers, so the baseline is measured
+  from a faithful reimplementation of its compute graph; BASELINE.md).
+
+The measured baseline is cached in bench_baseline.json (committed after a
+real-TPU run) so routine bench runs only time the optimized path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
+
+
+def _build_config(mode: str, smoke: bool):
+    from gddim_tpu.configs import get_config
+
+    config = get_config("cld/accr_dcifar10")
+    config.sampling.method = "deis"
+    config.sampling.nfe = 50
+    config.sampling.deis_order = 2
+    config.sampling.ts_order = 2
+    config.sampling.noise_removal = True
+    if mode == "opt":
+        config.model.dtype = "bfloat16"
+        config.model.attention_impl = "auto"
+    else:  # reference-faithful baseline
+        config.model.dtype = "float32"
+        config.model.attention_impl = "einsum5d"
+    if smoke:
+        config.model.nf = 32
+        config.model.num_res_blocks = 1
+        config.model.ch_mult = (1, 2)
+        config.model.attn_resolutions = (16,)
+        config.sampling.nfe = 4
+    return config
+
+
+def _sample_fn(config):
+    from gddim_tpu.math.cld import CLD
+    from gddim_tpu.models import init_model, make_cld_eps_fn
+    from gddim_tpu.samplers.factory import build_cld_sampler
+
+    rng = jax.random.PRNGKey(0)
+    model, model_state, params = init_model(rng, config)
+    sde = CLD.from_config(config)
+    eps_apply = make_cld_eps_fn(sde, model, train=False)
+    sampler = build_cld_sampler(
+        config, sde, eps_apply, (32, 32, 3), inverse_scaler=lambda x: (x + 1) / 2
+    )
+    variables = {"params": params, **model_state}
+    return sampler, variables
+
+
+def measure(mode: str, batch: int, reps: int, smoke: bool) -> float:
+    from gddim_tpu.models import resample
+
+    config = _build_config(mode, smoke)
+    resample.FIR_IMPL = "channel_batch" if mode == "ref" else "separable"
+    try:
+        sampler, variables = _sample_fn(config)
+        rng = jax.random.PRNGKey(1)
+        # warmup/compile
+        x, v, nfe = sampler(rng, variables, batch)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            x, v, nfe = sampler(jax.random.fold_in(rng, i), variables, batch)
+        jax.block_until_ready(x)
+        dt = time.perf_counter() - t0
+        return batch * reps / dt
+    finally:
+        resample.FIR_IMPL = "separable"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["opt", "ref", "both"], default="opt")
+    parser.add_argument("--batch", type=int, default=0, help="0 = sweep")
+    parser.add_argument("--reps", type=int, default=3)
+    args = parser.parse_args()
+
+    backend = jax.default_backend()
+    smoke = backend == "cpu"
+    batches = [args.batch] if args.batch else ([8] if smoke else [64, 128])
+
+    results = {}
+    modes = ["ref", "opt"] if args.mode == "both" else [args.mode]
+    for mode in modes:
+        best = 0.0
+        for b in batches:
+            ips = measure(mode, b, args.reps, smoke)
+            print(f"# {mode} batch={b}: {ips:.2f} img/s", flush=True)
+            best = max(best, ips)
+        results[mode] = best
+
+    # resolve the baseline
+    if "ref" in results:
+        baseline = results["ref"]
+        if not smoke:
+            BASELINE_CACHE.write_text(
+                json.dumps({"ref_ips": baseline, "backend": backend})
+            )
+    elif BASELINE_CACHE.exists():
+        cached = json.loads(BASELINE_CACHE.read_text())
+        baseline = float(cached["ref_ips"])
+    else:
+        baseline = None
+
+    value = results.get("opt", results.get("ref"))
+    out = {
+        "metric": "images_per_sec_per_chip_cifar10_nfe50_deis2",
+        "value": round(value, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
+    }
+    if smoke:
+        out["note"] = "cpu smoke shapes (driver runs on TPU)"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,8 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from gddim_tpu.models import resample
-from gddim_tpu.models.layers import NIN, conv1x1, conv3x3, default_init, group_norm
+from gddim_tpu.models.layers import NIN, conv1x1, conv3x3, default_init, group_norm, norm_act
 from gddim_tpu.ops.attention import self_attention_2d
+
+# 1/sqrt(2) as a python float: weak-typed, so bf16 residual adds stay bf16
+# (np.sqrt(2.0) is a strong float64 scalar and silently promotes to f32).
+_INV_SQRT2 = 0.7071067811865476
 
 
 class AttnBlockpp(nn.Module):
@@ -37,7 +41,7 @@ class AttnBlockpp(nn.Module):
         h = NIN(x.shape[-1], init_scale=self.init_scale, dtype=self.dtype)(h)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * _INV_SQRT2
 
 
 class Upsample(nn.Module):
@@ -124,13 +128,13 @@ class ResnetBlockDDPMpp(nn.Module):
     def __call__(self, x, temb=None, train=True):
         _, _, _, c = x.shape
         out_ch = self.out_ch or c
-        h = self.act(group_norm(x))
+        h = norm_act(x, self.act)
         h = conv3x3(h, out_ch, dtype=self.dtype)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
                 self.act(temb)
             )[:, None, None, :]
-        h = self.act(group_norm(h))
+        h = norm_act(h, self.act)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype)
         if c != out_ch:
@@ -140,7 +144,7 @@ class ResnetBlockDDPMpp(nn.Module):
                 x = NIN(out_ch, dtype=self.dtype)(x)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * _INV_SQRT2
 
 
 class ResnetBlockBigGANpp(nn.Module):
@@ -162,7 +166,7 @@ class ResnetBlockBigGANpp(nn.Module):
     def __call__(self, x, temb=None, train=True):
         _, _, _, c = x.shape
         out_ch = self.out_ch or c
-        h = self.act(group_norm(x))
+        h = norm_act(x, self.act)
 
         if self.up:
             if self.fir:
@@ -184,11 +188,11 @@ class ResnetBlockBigGANpp(nn.Module):
             h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
                 self.act(temb)
             )[:, None, None, :]
-        h = self.act(group_norm(h))
+        h = norm_act(h, self.act)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype)
         if c != out_ch or self.up or self.down:
             x = conv1x1(x, out_ch, dtype=self.dtype)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return (x + h) * _INV_SQRT2

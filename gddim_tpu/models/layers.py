@@ -134,13 +134,55 @@ class Combine(nn.Module):
         raise ValueError(f"combine method {self.method} not recognized")
 
 
+class GroupNorm(nn.Module):
+    """GroupNorm with optionally fused SiLU (Pallas kernel on TPU).
+
+    Drop-in replacement for nn.GroupNorm: same class name (so auto-numbered
+    scopes match the reference checkpoints), same 'scale'/'bias' params, f32
+    statistics. With fuse_silu, norm+activation run in one VMEM pass
+    (gddim_tpu/ops/groupnorm.py).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    fuse_silu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from gddim_tpu.ops.groupnorm import group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if x.ndim == 4:
+            return group_norm_silu(
+                x, scale, bias, self.num_groups, self.epsilon, self.fuse_silu
+            )
+        # non-image inputs: plain XLA path
+        from gddim_tpu.ops.groupnorm import group_norm_silu_reference
+
+        shape = x.shape
+        x4 = x.reshape(shape[0], 1, -1, c)
+        out = group_norm_silu_reference(
+            x4, scale, bias, self.num_groups, self.epsilon, self.fuse_silu
+        )
+        return out.reshape(shape)
+
+
 def group_norm(x, num_groups=None, name=None):
     """GroupNorm in f32 regardless of activation dtype (min(C//4, 32) groups)."""
     c = x.shape[-1]
     if num_groups is None:
         num_groups = min(c // 4, 32)
-    xdtype = x.dtype
-    h = nn.GroupNorm(num_groups=num_groups, name=name, dtype=jnp.float32)(
-        x.astype(jnp.float32)
-    )
-    return h.astype(xdtype)
+    return GroupNorm(num_groups=num_groups, name=name)(x)
+
+
+def norm_act(x, act, num_groups=None):
+    """GroupNorm followed by the activation; fused into one kernel when the
+    activation is SiLU/swish (all reference configs)."""
+    c = x.shape[-1]
+    if num_groups is None:
+        num_groups = min(c // 4, 32)
+    if act is nn.swish:
+        return GroupNorm(num_groups=num_groups, fuse_silu=True)(x)
+    return act(GroupNorm(num_groups=num_groups)(x))

@@ -33,6 +33,34 @@ def _fir_taps(k) -> np.ndarray:
     return k / k.sum()
 
 
+# Implementation selector for benchmarking: 'separable' (TPU-native, default)
+# or 'channel_batch' (the reference's fold-channels-into-batch single-channel
+# conv, up_or_down_sampling.py:276-291) so bench.py can measure the x1
+# baseline on identical numerics.
+FIR_IMPL = "separable"
+
+
+def _channel_batch_fir(x, k1d, up, down, pad0, pad1, gain):
+    """Reference-style upfirdn: channels into batch, one 2-D single-channel
+    conv per image (hostile to TPU; kept for baseline measurement)."""
+    n, h, w, c = x.shape
+    k2d = jnp.asarray(np.outer(k1d, k1d) * gain, dtype=x.dtype)
+    y = x
+    # zero-insert upsample
+    if up > 1:
+        y = y.reshape(n, h, 1, w, 1, c)
+        y = jnp.pad(y, [(0, 0), (0, 0), (0, up - 1), (0, 0), (0, up - 1), (0, 0)])
+        y = y.reshape(n, h * up, w * up, c)
+    y = jnp.pad(y, [(0, 0), (pad0, pad1), (pad0, pad1), (0, 0)])
+    y = jnp.transpose(y, (0, 3, 1, 2)).reshape(n * c, 1, y.shape[1], y.shape[2])
+    w_k = k2d[::-1, ::-1][:, :, None, None]
+    y = jax.lax.conv_general_dilated(
+        y, w_k, (1, 1), "VALID", dimension_numbers=("NCHW", "HWIO", "NCHW")
+    )
+    y = y.reshape(n, c, y.shape[2], y.shape[3]).transpose(0, 2, 3, 1)
+    return y[:, ::down, ::down, :]
+
+
 def _sep_fir(x, k1d: np.ndarray, up: int, down: int, pad0: int, pad1: int, gain: float):
     """upfirdn along H then W with a separable FIR kernel, depthwise.
 
@@ -40,6 +68,8 @@ def _sep_fir(x, k1d: np.ndarray, up: int, down: int, pad0: int, pad1: int, gain:
     pad0, pad1) — the trailing (up-1) zeros the reference's reshape-upsample
     appends are folded into the right padding.
     """
+    if FIR_IMPL == "channel_batch":
+        return _channel_batch_fir(x, k1d, up, down, pad0, pad1, gain)
     c = x.shape[-1]
     dtype = x.dtype
     # reference convolves with the flipped kernel; keep the flip for generality

@@ -26,8 +26,13 @@ from gddim_tpu.models.layers import (
     get_act,
     get_timestep_embedding,
     group_norm,
+    norm_act,
 )
 from gddim_tpu.models.registry import register_model
+
+# 1/sqrt(2) as a python float: weak-typed, so bf16 residual adds stay bf16
+# (np.sqrt(2.0) is a strong float64 scalar and silently promotes to f32).
+_INV_SQRT2 = 0.7071067811865476
 
 
 def get_sigmas(config):
@@ -197,7 +202,7 @@ class NCSNpp(nn.Module):
                         input_pyramid
                     )
                     if skip_rescale:
-                        input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+                        input_pyramid = (input_pyramid + h) * _INV_SQRT2
                     else:
                         input_pyramid = input_pyramid + h
                     h = input_pyramid
@@ -224,7 +229,7 @@ class NCSNpp(nn.Module):
                 if i_level == num_resolutions - 1:
                     if progressive == "output_skip":
                         pyramid = conv3x3(
-                            act(group_norm(h)),
+                            norm_act(h, act),
                             x.shape[-1],
                             bias=True,
                             init_scale=init_scale,
@@ -232,13 +237,13 @@ class NCSNpp(nn.Module):
                         )
                     else:  # residual
                         pyramid = conv3x3(
-                            act(group_norm(h)), h.shape[-1], bias=True, dtype=dtype
+                            norm_act(h, act), h.shape[-1], bias=True, dtype=dtype
                         )
                 else:
                     if progressive == "output_skip":
                         pyramid = pyramid_upsample()(pyramid)
                         pyramid = pyramid + conv3x3(
-                            act(group_norm(h)),
+                            norm_act(h, act),
                             x.shape[-1],
                             bias=True,
                             init_scale=init_scale,
@@ -247,7 +252,7 @@ class NCSNpp(nn.Module):
                     else:  # residual
                         pyramid = pyramid_upsample(out_ch=h.shape[-1])(pyramid)
                         if skip_rescale:
-                            pyramid = (pyramid + h) / np.sqrt(2.0)
+                            pyramid = (pyramid + h) * _INV_SQRT2
                         else:
                             pyramid = pyramid + h
                         h = pyramid
@@ -263,7 +268,7 @@ class NCSNpp(nn.Module):
         if progressive == "output_skip":
             h = pyramid
         else:
-            h = act(group_norm(h))
+            h = norm_act(h, act)
             h = conv3x3(h, x.shape[-1], init_scale=init_scale, dtype=dtype)
 
         h = h.astype(jnp.float32)

@@ -45,9 +45,22 @@ def _pallas_supported(q) -> bool:
     return s % 128 == 0 and c % 128 == 0
 
 
+def attention_einsum5d(q, k, v):
+    """Reference-shaped attention: bhwc,bHWc->bhwHW softmax einsum
+    (cld_jax/models/layerspp.py:74-78). Kept as the measured x1-baseline
+    implementation; materializes the (B, H, W, H, W) score tensor."""
+    b, h, w, c = q.shape
+    logits = jnp.einsum("bhwc,bHWc->bhwHW", q, k) * (int(c) ** (-0.5))
+    logits = logits.reshape(b, h, w, h * w)
+    weights = jax.nn.softmax(logits, axis=-1).reshape(b, h, w, h, w)
+    return jnp.einsum("bhwHW,bHWc->bhwc", weights, v)
+
+
 def self_attention_2d(q, k, v, impl: str = "auto"):
     """Attention over spatial tokens; q/k/v are (B, H, W, C)."""
     b, h, w, c = q.shape
+    if impl == "einsum5d":
+        return attention_einsum5d(q, k, v)
     qf, kf, vf = (x.reshape(b, h * w, c) for x in (q, k, v))
     if impl == "auto":
         impl = "pallas" if _pallas_supported(qf) else "xla"

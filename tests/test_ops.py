@@ -1,0 +1,106 @@
+"""Fused ops: numerics vs XLA references (Pallas kernels run in interpreter
+mode on CPU; the compiled path is exercised on real TPU by bench.py)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gddim_tpu.ops.attention import attention_einsum5d, attention_xla, self_attention_2d
+from gddim_tpu.ops.groupnorm import group_norm_silu, group_norm_silu_reference
+
+
+def test_attention_xla_matches_einsum5d(rng):
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 8, 8, 32)).astype(np.float32))
+        for _ in range(3)
+    )
+    a = np.asarray(self_attention_2d(q, k, v, impl="xla"))
+    b = np.asarray(attention_einsum5d(q, k, v))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_attention_softmax_rows_sum():
+    """Attention of constant v returns v (softmax rows sum to 1)."""
+    q = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 32)), jnp.float32)
+    k = jnp.asarray(np.random.default_rng(1).normal(size=(1, 16, 32)), jnp.float32)
+    v = jnp.ones((1, 16, 32), jnp.float32) * 3.5
+    out = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-5)
+
+
+def test_flash_attention_interpret_matches_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.flash import flash_attention
+
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(3, 256, 128)).astype(np.float32))
+        for _ in range(3)
+    )
+    ref = np.asarray(attention_xla(q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_group_norm_silu_reference_matches_flax(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    gn = nn.GroupNorm(num_groups=16, epsilon=1e-6)
+    expected = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    got = group_norm_silu_reference(x, scale, bias, 16, apply_silu=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5)
+    # fused silu == norm then swish
+    got_silu = group_norm_silu_reference(x, scale, bias, 16, apply_silu=True)
+    np.testing.assert_allclose(
+        np.asarray(got_silu), np.asarray(nn.swish(expected)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_group_norm_silu_pallas_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.groupnorm import _gn_silu_pallas
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    ref = group_norm_silu_reference(x, scale, bias, 32)
+    with pltpu.force_tpu_interpret_mode():
+        got = _gn_silu_pallas(x, scale, bias, 32, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_group_norm_silu_gradient():
+    """custom_vjp backward equals autodiff of the reference."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 32)).astype(np.float32))
+    scale = jnp.ones((32,), jnp.float32)
+    bias = jnp.zeros((32,), jnp.float32)
+
+    def f_fused(x, s, b):
+        return jnp.sum(group_norm_silu(x, s, b, 8) ** 2)
+
+    def f_ref(x, s, b):
+        return jnp.sum(group_norm_silu_reference(x, s, b, 8) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_model_groupnorm_params_match_flax_layout():
+    """The custom GroupNorm module creates the same param names/shapes as
+    nn.GroupNorm (legacy checkpoint compatibility)."""
+    from gddim_tpu.models.layers import GroupNorm
+
+    x = jnp.ones((1, 4, 4, 32))
+    params = GroupNorm(num_groups=8).init(jax.random.PRNGKey(0), x)["params"]
+    assert set(params.keys()) == {"scale", "bias"}
+    assert params["scale"].shape == (32,)
+    ref_params = nn.GroupNorm(num_groups=8).init(jax.random.PRNGKey(0), x)["params"]
+    assert set(ref_params.keys()) == set(params.keys())

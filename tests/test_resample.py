@@ -115,6 +115,21 @@ def test_conv_downsample_2d_shape_and_values(x):
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), rtol=1e-4, atol=1e-5)
 
 
+def test_channel_batch_impl_matches_separable(x):
+    """The baseline (reference-style) FIR path is numerically identical to the
+    TPU-native separable path."""
+    from gddim_tpu.models import resample as rs
+
+    for fn in [rs.upsample_2d, rs.downsample_2d]:
+        a = np.asarray(fn(jnp.asarray(x), FIR_K, factor=2))
+        try:
+            rs.FIR_IMPL = "channel_batch"
+            b = np.asarray(fn(jnp.asarray(x), FIR_K, factor=2))
+        finally:
+            rs.FIR_IMPL = "separable"
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_naive_resampling():
     x = jnp.arange(16.0).reshape(1, 4, 4, 1)
     up = resample.naive_upsample_2d(x)
