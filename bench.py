@@ -76,14 +76,21 @@ def measure(mode: str, batch: int, reps: int, smoke: bool) -> float:
     try:
         sampler, variables = _sample_fn(config)
         rng = jax.random.PRNGKey(1)
+
+        def sync(arr):
+            # block_until_ready is a no-op through remote-tunnel backends;
+            # fetching a scalar derived from the output forces completion.
+            return float(jnp.sum(arr))
+
         # warmup/compile
         x, v, nfe = sampler(rng, variables, batch)
-        jax.block_until_ready(x)
+        sync(x)
         t0 = time.perf_counter()
         for i in range(reps):
             x, v, nfe = sampler(jax.random.fold_in(rng, i), variables, batch)
-        jax.block_until_ready(x)
+        checksum = sync(x)
         dt = time.perf_counter() - t0
+        assert np.isfinite(checksum)
         return batch * reps / dt
     finally:
         resample.FIR_IMPL = "separable"
