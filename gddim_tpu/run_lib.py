@@ -154,12 +154,28 @@ def train(config, workdir: str):
         getattr(config.training, "snapshot_freq_for_sampling", snapshot_freq)
     )
 
+    # profiling hooks (the reference has none, SURVEY.md section 5): set
+    # training.profile_start/profile_steps to capture an XLA trace.
+    profile_start = int(getattr(config.training, "profile_start", -1))
+    profile_steps = int(getattr(config.training, "profile_steps", 5))
+    profiling = False
+
     logger.info("starting training at step %d", initial_step)
     t_last = time.time()
     for step in range(initial_step, n_iters, n_jitted):
+        if profile_start >= 0 and not profiling and step >= profile_start:
+            jax.profiler.start_trace(str(workdir / "profile"))
+            profiling = True
         batch = put_batch(next(train_iter))
         state, info = train_step(state, batch)
         cur = step + n_jitted
+        if profiling and step >= profile_start + profile_steps:
+            jax.tree.map(
+                lambda x: x.block_until_ready(), jax.tree.leaves(info)
+            )
+            jax.profiler.stop_trace()
+            profiling = False
+            profile_start = -1
 
         if cur % log_freq < n_jitted:
             loss = float(np.asarray(info["score_loss"]))

@@ -1,0 +1,84 @@
+"""Mesh/sharding helpers + the driver's multichip dry-run entry points."""
+
+import importlib.util
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gddim_tpu.parallel.mesh import (
+    batch_sharding,
+    fsdp_shard_params,
+    make_mesh,
+    make_mesh_2d,
+    replicate_to_mesh,
+    shard_batch,
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+    mesh2 = make_mesh_2d(4, 2)
+    assert mesh2.axis_names == ("data", "model")
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_shard_and_replicate():
+    mesh = make_mesh()
+    batch = {"image": jnp.arange(16.0).reshape(8, 2)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["image"].sharding.is_equivalent_to(
+        batch_sharding(mesh), ndim=2
+    )
+    rep = replicate_to_mesh({"w": jnp.ones(3)}, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+
+
+def test_fsdp_shard_params():
+    mesh = make_mesh()
+    params = {
+        "big": jnp.ones((1024, 256)),  # sharded (1024 % 8 == 0, big enough)
+        "small": jnp.ones((4,)),  # replicated (too small)
+        "odd": jnp.ones((1026, 65)),  # replicated (not divisible)
+    }
+    out = fsdp_shard_params(params, mesh, min_size=2**10)
+    assert not out["big"].sharding.is_fully_replicated
+    assert out["small"].sharding.is_fully_replicated
+    assert out["odd"].sharding.is_fully_replicated
+    # computation with mixed shardings still works and matches
+    total = jax.jit(lambda p: sum(jnp.sum(x) for x in jax.tree.leaves(p)))(out)
+    expected = 1024 * 256 + 4 + 1026 * 65
+    np.testing.assert_allclose(float(total), expected)
+
+
+def test_multihost_helpers_single_process():
+    from gddim_tpu.parallel.multihost import allgather_metrics, barrier, is_coordinator
+
+    assert is_coordinator()
+    barrier("test")  # no-op single process
+    out = allgather_metrics({"loss": 1.5})
+    assert out == {"loss": 1.5}
+
+
+def _load_graft():
+    path = Path(__file__).parent.parent / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_graft_dryrun_multichip():
+    mod = _load_graft()
+    mod.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    mod = _load_graft()
+    fn, args = mod.entry()
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    assert compiled is not None
