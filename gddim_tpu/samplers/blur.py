@@ -75,8 +75,67 @@ def build_blur_sampler(config, sde: BlurSDE, yeps_apply, data_shape, inverse_sca
     return sample_fn
 
 
+def build_blur_deis_sampler(config, sde: BlurSDE, yeps_apply, data_shape,
+                            inverse_scaler):
+    """Higher-order frequency-space DEIS for blur diffusion.
+
+    New capability over the reference (its scalar multistep module is dead
+    code and its sampler dispatch only exposes order0,
+    blur_jax/sampling.py:30-39): per-frequency AB coefficients computed on the
+    host (gddim_tpu/math/deis_scalar.py) drive the same scan engine shape as
+    the CLD samplers, with an (order+1)-deep eps history.
+    """
+    from gddim_tpu.math.deis_scalar import blur_deis_coef
+
+    sampling = config.sampling
+    nfe = int(sampling.nfe)
+    order = int(sampling.deis_order)
+    ts_order = float(sampling.ts_order)
+    rev_ts = rev_time_grid(sde.sampling_T, sde.sampling_eps, nfe, ts_order)
+    x_coef, eps_coef = blur_deis_coef(sde, rev_ts, order)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def _run(rng, variables, y0):
+        del rng
+        batch = y0.shape[0]
+        xs = {
+            "x": jnp.asarray(x_coef, dtype=y0.dtype),  # (N, H, W, 1)
+            "eps": jnp.asarray(eps_coef, dtype=y0.dtype),  # (N, o+1, H, W, 1)
+            "t": jnp.asarray(rev_ts[:-1], dtype=y0.dtype),
+        }
+        hist0 = jnp.stack([y0] * max(order, 1)) if order > 0 else None
+
+        def body(carry, x):
+            y, hist = carry
+            eps_y = yeps_apply(variables, y, jnp.full((batch,), x["t"], y.dtype))
+            if hist is not None:
+                full = jnp.concatenate([eps_y[None], hist], axis=0)
+            else:
+                full = eps_y[None]
+            # (o+1, 1, H, W, 1) coefficient maps broadcast over batch+channels
+            y_new = x["x"][None] * y + jnp.sum(x["eps"][:, None] * full, axis=0)
+            new_hist = full[:order] if hist is not None else None
+            return (y_new, new_hist), None
+
+        (y, _), _ = lax.scan(body, (y0, hist0), xs)
+        return inverse_scaler(sde.y2x(y))
+
+    def sample_fn(rng, variables, batch_size=None, u0=None):
+        if u0 is None:
+            prior_rng, rng = jax.random.split(rng)
+            u0 = sde.prior_sampling(prior_rng, (batch_size,) + tuple(data_shape))
+        x = _run(rng, variables, u0)
+        return x, nfe
+
+    return sample_fn
+
+
 def build_blur_sampler_from_config(config, sde, yeps_apply, data_shape, inverse_scaler):
     name = config.sampling.method.lower()
-    if name != "order0":
-        raise ValueError(f"blur package supports only 'order0' (got {name})")
-    return build_blur_sampler(config, sde, yeps_apply, data_shape, inverse_scaler)
+    if name == "order0":
+        return build_blur_sampler(config, sde, yeps_apply, data_shape, inverse_scaler)
+    if name == "deis":
+        return build_blur_deis_sampler(
+            config, sde, yeps_apply, data_shape, inverse_scaler
+        )
+    raise ValueError(f"blur package supports 'order0' and 'deis' (got {name})")

@@ -1,0 +1,127 @@
+"""FID/IS math + feature pipeline + InceptionV3 port structure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gddim_tpu.evals import (
+    activation_stats,
+    frechet_distance,
+    get_feature_extractor,
+    inception_score,
+    load_dataset_stats,
+    run_features_sharded,
+)
+from gddim_tpu.evals.fid import save_dataset_stats
+
+
+def test_frechet_distance_identities(rng):
+    mu = rng.normal(size=16)
+    a = rng.normal(size=(16, 16))
+    sigma = a @ a.T + np.eye(16)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+    # known closed form for isotropic Gaussians:
+    # FID(N(0, I), N(m, s^2 I)) = |m|^2 + d*(1-s)^2
+    d = 16
+    m = np.full(d, 0.5)
+    s = 2.0
+    fid = frechet_distance(np.zeros(d), np.eye(d), m, s**2 * np.eye(d))
+    np.testing.assert_allclose(fid, d * 0.25 + d * (1 - s) ** 2, rtol=1e-8)
+    # symmetric
+    np.testing.assert_allclose(
+        frechet_distance(np.zeros(d), np.eye(d), m, 4 * np.eye(d)),
+        frechet_distance(m, 4 * np.eye(d), np.zeros(d), np.eye(d)),
+        rtol=1e-8,
+    )
+
+
+def test_frechet_distance_sample_estimate(rng):
+    x = rng.normal(size=(20000, 8))
+    y = rng.normal(size=(20000, 8)) + 1.0
+    mu1, s1 = activation_stats(x)
+    mu2, s2 = activation_stats(y)
+    fid = frechet_distance(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(fid, 8.0, rtol=0.05)  # |mean diff|^2 = 8
+
+
+def test_inception_score_bounds(rng):
+    # uniform logits -> IS = 1
+    logits = np.zeros((100, 10))
+    np.testing.assert_allclose(inception_score(logits), 1.0, rtol=1e-6)
+    # perfectly confident + uniform marginal -> IS = num classes
+    logits = np.eye(10)[np.arange(100) % 10] * 50
+    np.testing.assert_allclose(inception_score(logits), 10.0, rtol=1e-3)
+
+
+def test_stats_roundtrip(tmp_path, rng):
+    mu, sigma = activation_stats(rng.normal(size=(100, 4)))
+    p = tmp_path / "stats.npz"
+    save_dataset_stats(p, mu, sigma)
+    mu2, sigma2 = load_dataset_stats(p)
+    np.testing.assert_allclose(mu, mu2)
+    np.testing.assert_allclose(sigma, sigma2)
+
+
+def test_proxy_extractor_discriminates(rng):
+    """Proxy features must separate distinct image distributions."""
+    import ml_collections
+
+    cfg = ml_collections.ConfigDict()
+    cfg.eval = dict(inception_weights="")
+    cfg.data = dict(image_size=16, num_channels=3)
+    ext = get_feature_extractor(cfg)
+    a = (rng.random((128, 16, 16, 3)) * 255).astype(np.uint8)
+    b = np.zeros((128, 16, 16, 3), dtype=np.uint8)
+    pa, la = run_features_sharded(ext, a, batch_size=64)
+    pb, lb = run_features_sharded(ext, b, batch_size=64)
+    assert pa.shape == (128, ext.feature_dim)
+    fid_ab = frechet_distance(*activation_stats(pa), *activation_stats(pb))
+    a2 = (rng.random((128, 16, 16, 3)) * 255).astype(np.uint8)
+    pa2, _ = run_features_sharded(ext, a2, batch_size=64)
+    fid_aa = frechet_distance(*activation_stats(pa), *activation_stats(pa2))
+    assert fid_ab > 10 * max(fid_aa, 1e-6)
+
+
+def test_features_sharded_over_mesh(rng):
+    from gddim_tpu.parallel import make_mesh
+
+    import ml_collections
+
+    cfg = ml_collections.ConfigDict()
+    cfg.eval = dict(inception_weights="")
+    cfg.data = dict(image_size=8, num_channels=3)
+    ext = get_feature_extractor(cfg)
+    imgs = (rng.random((100, 8, 8, 3)) * 255).astype(np.uint8)  # 100 % 8 != 0
+    mesh = make_mesh()
+    pools, logits = run_features_sharded(ext, imgs, batch_size=32, mesh=mesh)
+    assert pools.shape[0] == 100
+    # identical to unsharded
+    pools1, _ = run_features_sharded(ext, imgs, batch_size=32)
+    np.testing.assert_allclose(pools, pools1, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_inception_port_structure(tmp_path):
+    """The InceptionV3 port accepts a torchvision-shaped state dict and emits
+    2048-d pool features + 1000-d logits."""
+    from gddim_tpu.evals.features import FeatureExtractor
+    from gddim_tpu.evals.inception import InceptionV3, random_state_dict
+
+    sd = random_state_dict()
+    net = InceptionV3(sd)
+    imgs = jnp.asarray(
+        (np.random.default_rng(0).random((2, 32, 32, 3)) * 255).astype(np.float32)
+    )
+    out = net(imgs)
+    assert out["pool_3"].shape == (2, 2048)
+    assert out["logits"].shape == (2, 1000)
+    assert np.isfinite(np.asarray(out["pool_3"])).all()
+
+    # loader path
+    np.savez(tmp_path / "w.npz", **sd)
+    from gddim_tpu.evals.inception import load_inception_extractor
+
+    ext = load_inception_extractor(str(tmp_path / "w.npz"))
+    assert isinstance(ext, FeatureExtractor)
+    assert ext.feature_dim == 2048
