@@ -80,6 +80,73 @@ def _load_cifar10_dir(data_dir: str, train: bool) -> np.ndarray:
     return data  # uint8 NHWC
 
 
+def _central_crop_resize(images: np.ndarray, crop: int | None, size: int) -> np.ndarray:
+    """Per-dataset preprocessing (reference datasets.py:112-154): optional
+    central crop then area resize to (size, size)."""
+    n, h, w, c = images.shape
+    if crop:
+        top, left = (h - crop) // 2, (w - crop) // 2
+        images = images[:, top : top + crop, left : left + crop]
+        h = w = crop
+    if h == size and w == size:
+        return images
+    # integer-factor area resize (nearest for upscale) without external deps
+    out = np.zeros((n, size, size, c), dtype=images.dtype)
+    ys = (np.arange(size) * h / size).astype(int)
+    xs = (np.arange(size) * w / size).astype(int)
+    out[:] = images[:, ys][:, :, xs]
+    return out
+
+
+_DATASET_CROPS = {
+    # reference preprocessing (cld_jax/datasets.py:112-154)
+    "celeba": 140,  # central crop 140 then resize
+    "celebahq": None,
+    "ffhq": None,
+    "lsun": None,  # reference resizes then crops; approximated by crop+resize
+    "svhn": None,
+    "cifar10": None,
+}
+
+
+def _load_image_corpus(config, train: bool) -> np.ndarray:
+    """Generic local corpus loader: cifar batches, an .npz with 'images', or a
+    directory of image files. No-network replacement for the reference's
+    tfds/TFRecord pipelines (datasets.py:107-162)."""
+    name = config.data.dataset.lower()
+    d = Path(config.data.data_dir)
+    if name == "cifar10" and (
+        (d / "cifar-10-batches-py").exists() or (d / "data_batch_1").exists()
+        or (d / "cifar10_train.npz").exists()
+    ):
+        images = _load_cifar10_dir(config.data.data_dir, train)
+    else:
+        split = "train" if train else "test"
+        npz = d / f"{name}_{split}.npz"
+        if not npz.exists():
+            npz = d / f"{name}.npz"
+        if npz.exists():
+            with np.load(npz) as z:
+                images = z["images"]
+        else:
+            img_dir = d if d.is_dir() else None
+            if img_dir is None:
+                raise FileNotFoundError(f"no data for {name} under {d}")
+            from PIL import Image
+
+            files = sorted(
+                p for p in img_dir.rglob("*")
+                if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".webp")
+            )
+            if not files:
+                raise FileNotFoundError(f"no images under {d}")
+            images = np.stack(
+                [np.asarray(Image.open(f).convert("RGB")) for f in files]
+            )
+    crop = _DATASET_CROPS.get(name.split("_")[0])
+    return _central_crop_resize(images, crop, config.data.image_size)
+
+
 def _synthetic_images(config, n: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-image corpus (smooth random Fourier textures)."""
     rng = np.random.default_rng(seed)
@@ -218,7 +285,7 @@ def get_dataset(config, additional_dim=None, uniform_dequantization=False,
         n = 4096 if not getattr(config.data, "is_partial", False) else 512
         images = _synthetic_images(config, n, seed=config.seed)
     else:
-        images = _load_cifar10_dir(config.data.data_dir, train=True)
+        images = _load_image_corpus(config, train=True)
         if getattr(config.data, "is_partial", False):
             images = images[: max(len(images) // 1000, 1)]  # reference :110-116
 
