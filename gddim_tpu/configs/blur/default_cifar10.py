@@ -30,6 +30,9 @@ def get_default_configs():
     sampling.ts_order = 2
     sampling.t0 = 1e-5
     sampling.noise_removal = False
+    # gddim_tpu extension: frequency-space DEIS (method='deis') with this
+    # polynomial order — the reference only ships order0
+    sampling.deis_order = 2
 
     config.eval = evaluate = ml_collections.ConfigDict()
     evaluate.begin_ckpt = 9
