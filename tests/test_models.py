@@ -186,3 +186,44 @@ def test_progressive_modes_build():
             {"params": params, **state}, x, jnp.ones((1,)), train=False, mutable=False
         )
         assert out.shape == x.shape, (progressive, progressive_input)
+
+
+def test_legacy_ncsn_blocks():
+    """NCSNv1/v2-era RefineNet blocks (inventory parity with reference
+    layers.py:117-441,496-568) build and preserve shapes."""
+    import flax.linen as nn
+    from gddim_tpu.models import legacy_blocks as lb
+
+    x = jnp.ones((2, 16, 16, 32))
+    for mod in [lb.CRPBlock(32, 2), lb.RCUBlock(32, 2, 2), lb.LegacyAttnBlock()]:
+        out, _ = mod.init_with_output(jax.random.PRNGKey(0), x)
+        assert out.shape == x.shape
+    xs = [jnp.ones((2, 8, 8, 64)), jnp.ones((2, 16, 16, 32))]
+    out, _ = lb.RefineBlock(32, (16, 16)).init_with_output(jax.random.PRNGKey(0), xs)
+    assert out.shape == (2, 16, 16, 32)
+    rb = lb.LegacyResnetBlockDDPM(act=nn.relu, out_ch=64)
+    out, _ = rb.init_with_output(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x,
+        jnp.ones((2, 128)),
+    )
+    assert out.shape == (2, 16, 16, 64)
+
+
+def test_wideresnet_classifier_and_guidance():
+    from gddim_tpu.models.wideresnet import (
+        create_classifier,
+        get_classifier_grad_fn,
+        get_logit_fn,
+    )
+
+    clf, params = create_classifier(jax.random.PRNGKey(0), batch_size=2)
+    logit_fn = get_logit_fn(clf, params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    sig = jnp.ones((2,)) * 0.5
+    logits = logit_fn(x, sig)
+    assert logits.shape == (2, 10)
+    grad_fn = get_classifier_grad_fn(logit_fn)
+    g = grad_fn(x, sig, jnp.asarray([3, 7]))
+    assert g.shape == x.shape
+    assert jnp.isfinite(g).all()
