@@ -150,9 +150,12 @@ class NCSNpp(nn.Module):
                 blk.Downsample, fir=fir, fir_kernel=fir_kernel, with_conv=True, dtype=dtype
             )
 
+        # optional rematerialization: recompute res-block activations in the
+        # backward pass (HBM for FLOPs trade, enables larger per-chip batch)
+        remat = bool(getattr(config.model, "remat", False))
         if resblock_type == "ddpm":
-            ResnetBlock = functools.partial(
-                blk.ResnetBlockDDPMpp,
+            block_cls = blk.ResnetBlockDDPMpp
+            block_kwargs = dict(
                 act=act,
                 dropout=dropout,
                 init_scale=init_scale,
@@ -160,8 +163,8 @@ class NCSNpp(nn.Module):
                 dtype=dtype,
             )
         elif resblock_type == "biggan":
-            ResnetBlock = functools.partial(
-                blk.ResnetBlockBigGANpp,
+            block_cls = blk.ResnetBlockBigGANpp
+            block_kwargs = dict(
                 act=act,
                 dropout=dropout,
                 fir=fir,
@@ -172,6 +175,13 @@ class NCSNpp(nn.Module):
             )
         else:
             raise ValueError(f"resblock type {resblock_type} unrecognized")
+        if remat:
+            orig_name = block_cls.__name__
+            block_cls = nn.remat(block_cls, static_argnums=(3,))
+            # keep the original scope name so the parameter tree (and thus
+            # checkpoints) are identical with remat on or off
+            block_cls.__name__ = orig_name
+        ResnetBlock = functools.partial(block_cls, **block_kwargs)
 
         if not config.data.centered:
             x = 2 * x - 1.0  # inputs in [0,1] -> [-1,1] (reference :136-138)
