@@ -105,9 +105,15 @@ def train(config, workdir: str):
     state = replicate_to_mesh(state, mesh)
 
     n_jitted = int(config.training.n_jitted_steps)
-    train_iter, eval_iter = get_dataset(
+    train_iter, _ = get_dataset(
         config,
         additional_dim=n_jitted,
+        uniform_dequantization=config.data.uniform_dequantization,
+    )
+    # eval batches have no scan axis (single eval step per eval_freq)
+    _, eval_iter = get_dataset(
+        config,
+        additional_dim=None,
         uniform_dequantization=config.data.uniform_dequantization,
     )
     scaler = get_data_scaler(config)
@@ -190,8 +196,7 @@ def train(config, workdir: str):
 
         if cur % eval_freq < n_jitted:
             eval_batch = jax.tree.map(
-                lambda x: jnp.asarray(scaler(x[0] if x.ndim > 3 else x)),
-                next(eval_iter),
+                lambda x: jnp.asarray(scaler(x)), next(eval_iter)
             )
             rng, eval_rng = jax.random.split(rng)
             einfo = eval_step(state, eval_batch, eval_rng)

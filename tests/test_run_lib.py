@@ -139,3 +139,39 @@ def test_preemption_resume(tmp_path):
     state2 = run_lib.train(cfg, str(workdir))
     step2 = int(np.asarray(state2.step))
     assert step2 > step1 >= 4
+
+
+@pytest.mark.slow
+def test_evaluate_mode_with_sampling_and_fid(tmp_path):
+    """`evaluate` scores a checkpoint range (loss + sampling + FID) and is
+    resumable via eval_meta.json (reference run_lib.py:278-671 semantics)."""
+    from gddim_tpu import run_lib
+
+    cfg = tiny_image_config()
+    cfg.training.n_iters = 5
+    cfg.training.snapshot_freq = 2
+    cfg.training.snapshot_sampling = False
+    workdir = tmp_path / "run"
+    run_lib.train(cfg, str(workdir))
+    snap_ids = sorted(
+        int(p.name) for p in (workdir / "checkpoints").iterdir() if p.name.isdigit()
+    )
+    assert snap_ids
+    cfg.eval.begin_ckpt = snap_ids[0]
+    cfg.eval.end_ckpt = snap_ids[-1]
+    cfg.eval.enable_loss = True
+    cfg.eval.enable_sampling = True
+    cfg.eval.num_samples = 8
+    cfg.eval.batch_size = 8
+    results = run_lib.evaluate(cfg, str(workdir))
+    assert results
+    first = next(iter(results.values()))
+    assert "eval_loss" in first and np.isfinite(first["eval_loss"])
+    assert "fid" in first and np.isfinite(first["fid"])
+    # resumable: second call reuses the meta file without recomputing
+    meta = (workdir / "eval" / "eval_meta.json").read_text()
+    results2 = run_lib.evaluate(cfg, str(workdir))
+    assert (workdir / "eval" / "eval_meta.json").read_text() == meta
+    assert {k: v.get("fid") for k, v in results2.items()} == {
+        k: v.get("fid") for k, v in results.items()
+    }
