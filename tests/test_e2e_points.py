@@ -29,7 +29,10 @@ def test_pointset_training_learns_distribution():
     # after this short run, deflating eps and blowing up the amplifying
     # reverse transition; use a faster EMA for the smoke-scale run.
     cfg.model.ema_rate = 0.95
-    cfg.sampling.nfe = 30
+    cfg.sampling.method = "sscs"  # stochastic sampler: robust to the
+    # imperfect score of a smoke-scale run (deterministic PF samplers need a
+    # near-converged score; the reference trains 1M steps)
+    cfg.sampling.nfe = 100
     cfg.sampling.deis_order = 2
 
     rng = jax.random.PRNGKey(0)
@@ -48,15 +51,18 @@ def test_pointset_training_learns_distribution():
         losses.append(float(np.asarray(info["score_loss"])))
     assert np.mean(losses[-5:]) < np.mean(losses[:3]) * 0.7
 
+    from gddim_tpu.data import get_data_inverse_scaler
+
     eps_apply = make_cld_eps_fn(sde, model, train=False)
-    sample_fn = build_cld_sampler(cfg, sde, eps_apply, (2,))
+    inv = get_data_inverse_scaler(cfg)
+    sample_fn = build_cld_sampler(cfg, sde, eps_apply, (2,), inverse_scaler=inv)
     variables = {"params": state.params_ema, **state.model_state}
     x, v, nfe = sample_fn(jax.random.PRNGKey(2), variables, batch_size=2048)
     x = np.asarray(x)
-    assert nfe == 30
+    assert nfe == 100
     assert np.isfinite(x).all()
 
-    # statistical match against the (normalized) data corpus
+    # statistical match against the (normalized, unscaled) data corpus
     data = next(iter(train_iter))["image"].reshape(-1, 2)
     assert np.abs(x.mean(0) - data.mean(0)).max() < 0.25
     assert np.abs(x.std(0) - data.std(0)).max() < 0.25
