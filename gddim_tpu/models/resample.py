@@ -39,6 +39,26 @@ def _fir_taps(k) -> np.ndarray:
 # baseline on identical numerics.
 FIR_IMPL = "separable"
 
+# Fuse the FIR filter into the neighboring conv kernel for the fused
+# resample ops (one strided MXU conv instead of depthwise FIR + conv).
+FUSE_FIR_CONV = True
+
+
+def _compose_shift_tensor(kw: int, k1d: np.ndarray) -> np.ndarray:
+    """S[d, e, x, y] = k_flipped[x - d, y - e]: places the (flipped) 2-D FIR
+    tap at every conv-kernel offset, so the composed kernel is
+    K[x, y, i, o] = sum_{d,e} w[d, e, i, o] * S[d, e, x, y] (full correlation
+    composition). Host-side constant per (conv size, FIR taps)."""
+    kf = k1d.shape[0]
+    k2d = np.outer(k1d, k1d)
+    k_fl = k2d[::-1, ::-1]
+    out = kw + kf - 1
+    s = np.zeros((kw, kw, out, out), dtype=np.float32)
+    for d in range(kw):
+        for e in range(kw):
+            s[d, e, d : d + kf, e : e + kf] = k_fl
+    return s
+
 
 def _channel_batch_fir(x, k1d, up, down, pad0, pad1, gain):
     """Reference-style upfirdn: channels into batch, one 2-D single-channel
@@ -137,6 +157,27 @@ def upsample_conv_2d(x, w, k=(1, 3, 3, 1), factor: int = 2, gain: float = 1.0):
     assert x.shape[-1] == in_c, "grouped fused resample not supported"
     k1d = _fir_taps(k)
     p = (k1d.shape[0] - factor) - (kw - 1)
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2 + 1
+    if FUSE_FIR_CONV and FIR_IMPL == "separable":
+        # compose conv kernel and FIR taps into one (kw+kf-1)^2 kernel: a
+        # single input-dilated MXU conv replaces conv + 2 depthwise FIR passes
+        s = jnp.asarray(
+            _compose_shift_tensor(kw, k1d) * (gain * factor**2), jnp.float32
+        )
+        kern = jnp.einsum(
+            "deio,dexy->xyio", w.astype(jnp.float32), s,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(w.dtype)
+        pad = ((kh - 1 + pad0, kh - 1 + pad1), (kw - 1 + pad0, kw - 1 + pad1))
+        return jax.lax.conv_general_dilated(
+            x,
+            kern,
+            window_strides=(1, 1),
+            padding=pad,
+            lhs_dilation=(factor, factor),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     x = jax.lax.conv_general_dilated(
         x,
         w,
@@ -150,8 +191,8 @@ def upsample_conv_2d(x, w, k=(1, 3, 3, 1), factor: int = 2, gain: float = 1.0):
         k1d,
         up=1,
         down=1,
-        pad0=(p + 1) // 2 + factor - 1,
-        pad1=p // 2 + 1,
+        pad0=pad0,
+        pad1=pad1,
         gain=gain * (factor**2),
     )
 
@@ -163,7 +204,22 @@ def conv_downsample_2d(x, w, k=(1, 3, 3, 1), factor: int = 2, gain: float = 1.0)
     assert x.shape[-1] == in_c, "grouped fused resample not supported"
     k1d = _fir_taps(k)
     p = (k1d.shape[0] - factor) + (kw - 1)
-    x = _sep_fir(x, k1d, up=1, down=1, pad0=(p + 1) // 2, pad1=p // 2, gain=gain)
+    pad0, pad1 = (p + 1) // 2, p // 2
+    if FUSE_FIR_CONV and FIR_IMPL == "separable":
+        # single strided conv with the FIR-composed kernel
+        s = jnp.asarray(_compose_shift_tensor(kw, k1d) * gain, jnp.float32)
+        kern = jnp.einsum(
+            "deio,dexy->xyio", w.astype(jnp.float32), s,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(w.dtype)
+        return jax.lax.conv_general_dilated(
+            x,
+            kern,
+            window_strides=(factor, factor),
+            padding=((pad0, pad1), (pad0, pad1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    x = _sep_fir(x, k1d, up=1, down=1, pad0=pad0, pad1=pad1, gain=gain)
     return jax.lax.conv_general_dilated(
         x,
         w,

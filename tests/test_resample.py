@@ -137,3 +137,21 @@ def test_naive_resampling():
     np.testing.assert_allclose(np.asarray(up)[0, :2, :2, 0], 0.0)
     down = resample.naive_downsample_2d(up)
     np.testing.assert_allclose(np.asarray(down), np.asarray(x))
+
+
+def test_fir_conv_fusion_matches_composed(x):
+    """The single composed-kernel conv equals FIR + conv (both directions)."""
+    from gddim_tpu.models import resample as rs
+
+    w = jnp.asarray(
+        np.random.default_rng(3).normal(size=(3, 3, 3, 5)).astype(np.float32) * 0.1
+    )
+    for fn in [rs.upsample_conv_2d, rs.conv_downsample_2d]:
+        try:
+            rs.FUSE_FIR_CONV = True
+            a = np.asarray(fn(jnp.asarray(x), w, FIR_K, factor=2))
+            rs.FUSE_FIR_CONV = False
+            b = np.asarray(fn(jnp.asarray(x), w, FIR_K, factor=2))
+        finally:
+            rs.FUSE_FIR_CONV = True
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
