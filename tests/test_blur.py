@@ -207,3 +207,25 @@ def test_blur_sampler_preserves_gaussian_marginals():
     x, _ = fn(jax.random.PRNGKey(3), {}, batch_size=512)
     std = np.asarray(x).std()
     assert abs(std - 1.0) < 0.1, std
+
+
+def test_blur_factory_dispatch_deis():
+    """run_lib's blur sampler builder dispatches both order0 and deis."""
+    import ml_collections
+
+    from gddim_tpu.samplers.blur import build_blur_sampler_from_config
+
+    sde = BlurSDE(img_dim=8)
+
+    def yeps_apply(variables, y, t_vec):
+        del variables
+        return batch_mul(1.0 / sde.y_std_coef(t_vec), y)
+
+    for method in ["order0", "deis"]:
+        cfg = ml_collections.ConfigDict()
+        cfg.sampling = dict(method=method, nfe=6, ts_order=2, deis_order=1)
+        fn = build_blur_sampler_from_config(cfg, sde, yeps_apply, (8, 8, 1), lambda x: x)
+        x, nfe = fn(jax.random.PRNGKey(0), {}, batch_size=4)
+        assert x.shape == (4, 8, 8, 1)
+        assert nfe == 6
+        assert np.isfinite(np.asarray(x)).all()
