@@ -27,12 +27,19 @@ def make_train_step(config, loss_fn, mesh=None, donate: bool = True):
     batches: pytree with leaves shaped [n_jitted_steps, batch, ...] (the
     reference's layout minus the pmap device axis, run_lib.py:121-125).
 
-    Buffer donation halves state memory on TPU but deadlocks the forced
-    host-platform CPU backend's all-reduce rendezvous (XLA CPU collectives +
-    donated replicated buffers); donation is therefore gated on the backend.
+    Buffer donation halves state memory on TPU but (a) deadlocks the forced
+    host-platform CPU backend's all-reduce rendezvous and (b) raises
+    InvalidArgument on the tunneled 'axon' TPU backend when the donated state
+    is fetched back; donation is therefore gated on the backend.
     """
+    import os
+
     tx = make_optimizer(config)
-    donate = donate and jax.default_backend() != "cpu"
+    donate = (
+        donate
+        and jax.default_backend() != "cpu"
+        and os.environ.get("JAX_PLATFORMS", "") != "axon"
+    )
 
     def one_step(carry, batch):
         rng, state = carry
