@@ -62,15 +62,20 @@ def build_sde(config):
     return blur_from_config(config)
 
 
-def build_sampling_fn(config, sde, model, inverse_scaler):
-    """sample_fn(rng, variables, batch_size) -> (x, [v,] nfe)."""
+def build_sampling_fn(config, sde, model, inverse_scaler, mesh=None):
+    """sample_fn(rng, variables, batch_size) -> (x, [v,] nfe).
+
+    With `mesh`, sample generation runs data-parallel across the mesh
+    (sharded-batch replacement for the reference's pmapped samplers)."""
     data_shape = get_data_shape(config)
     if is_cld(config):
         eps_apply = make_cld_eps_fn(sde, model, train=False)
-        return build_cld_sampler(config, sde, eps_apply, data_shape, inverse_scaler)
+        return build_cld_sampler(
+            config, sde, eps_apply, data_shape, inverse_scaler, mesh=mesh
+        )
     yeps_apply = make_blur_yeps_fn(sde, model, train=False)
     return build_blur_sampler_from_config(
-        config, sde, yeps_apply, data_shape, inverse_scaler
+        config, sde, yeps_apply, data_shape, inverse_scaler, mesh=mesh
     )
 
 
@@ -88,7 +93,8 @@ def train(config, workdir: str):
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     sample_dir = workdir / "samples"
-    metrics = MetricsLogger(workdir, config=config)
+    is_host0 = jax.process_index() == 0  # host-0 exclusivity for logging/IO
+    metrics = MetricsLogger(workdir, config=config) if is_host0 else None
 
     rng = jax.random.PRNGKey(config.seed)
     rng, init_rng, state_rng = jax.random.split(rng, 3)
@@ -189,7 +195,10 @@ def train(config, workdir: str):
             t_last = time.time()
             ips = config.training.batch_size * log_freq / max(dt, 1e-9)
             logger.info("step %d loss %.5f (%.1f img/s)", cur, loss, ips)
-            metrics.log({"train/score_loss": loss, "train/imgs_per_sec": ips}, cur)
+            if metrics:
+                metrics.log(
+                    {"train/score_loss": loss, "train/imgs_per_sec": ips}, cur
+                )
 
         if cur % preempt_freq < n_jitted:
             mgr.save_meta(cur, jax.device_get(state))
@@ -200,9 +209,10 @@ def train(config, workdir: str):
             )
             rng, eval_rng = jax.random.split(rng)
             einfo = eval_step(state, eval_batch, eval_rng)
-            metrics.log(
-                {"eval/score_loss": float(np.asarray(einfo["score_loss"]))}, cur
-            )
+            if metrics:
+                metrics.log(
+                    {"eval/score_loss": float(np.asarray(einfo["score_loss"]))}, cur
+                )
 
         if cur % snapshot_freq < n_jitted:
             mgr.save_snapshot(cur // snapshot_freq, jax.device_get(state))
@@ -214,17 +224,19 @@ def train(config, workdir: str):
                 _ema_variables(state),
                 int(config.training.snapshot_sampling_batch),
             )
-            x = np.asarray(out[0])
-            this_dir = sample_dir / f"iter_{cur}"
-            this_dir.mkdir(parents=True, exist_ok=True)
-            if x.ndim == 4:
-                save_image(x[:64], this_dir / "sample.png")
-            else:
-                save_pointset(x, this_dir / "sample.png")
+            if is_host0:
+                x = np.asarray(out[0])
+                this_dir = sample_dir / f"iter_{cur}"
+                this_dir.mkdir(parents=True, exist_ok=True)
+                if x.ndim == 4:
+                    save_image(x[:64], this_dir / "sample.png")
+                else:
+                    save_pointset(x, this_dir / "sample.png")
 
     mgr.save_meta(n_iters, jax.device_get(state))
     mgr.wait()
-    metrics.close()
+    if metrics:
+        metrics.close()
     return state
 
 
@@ -286,7 +298,9 @@ def sample_data(config, ckpt: str, result_folder: str, workdir: str | None = Non
     model, state = restore_state(config, ckpt, workdir)
     inverse_scaler = get_data_inverse_scaler(config)
     sde = build_sde(config)
-    sampling_fn = build_sampling_fn(config, sde, model, inverse_scaler)
+    mesh = make_mesh()
+    state = replicate_to_mesh(state, mesh)
+    sampling_fn = build_sampling_fn(config, sde, model, inverse_scaler, mesh=mesh)
     return sampling_from_fn(
         config,
         sampling_fn,

@@ -35,11 +35,13 @@ def blur_order0_stacks(sde: BlurSDE, nfe: int, ts_order: float):
     return rev_ts, a.astype(np.float32), b.astype(np.float32)
 
 
-def build_blur_sampler(config, sde: BlurSDE, yeps_apply, data_shape, inverse_scaler):
+def build_blur_sampler(config, sde: BlurSDE, yeps_apply, data_shape,
+                       inverse_scaler, mesh=None):
     """Returns sample_fn(rng, variables, batch_size, u0=None) -> (x, nfe).
 
     yeps_apply(variables, y, t_vec) -> eps_y (the y-space eps wrapper,
-    gddim_tpu/models/wrappers.py:make_blur_yeps_fn).
+    gddim_tpu/models/wrappers.py:make_blur_yeps_fn). With `mesh`, the batch is
+    sharded over the 'data' axis.
     """
     sampling = config.sampling
     nfe = int(sampling.nfe)
@@ -69,14 +71,23 @@ def build_blur_sampler(config, sde: BlurSDE, yeps_apply, data_shape, inverse_sca
         if u0 is None:
             prior_rng, rng = jax.random.split(rng)
             u0 = sde.prior_sampling(prior_rng, (batch_size,) + tuple(data_shape))
+        u0 = _maybe_shard(u0, mesh)
         x = _run(rng, variables, u0)
         return x, nfe
 
     return sample_fn
 
 
+def _maybe_shard(u0, mesh):
+    if mesh is None or u0.shape[0] % mesh.devices.size != 0:
+        return u0
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(u0, NamedSharding(mesh, P("data")))
+
+
 def build_blur_deis_sampler(config, sde: BlurSDE, yeps_apply, data_shape,
-                            inverse_scaler):
+                            inverse_scaler, mesh=None):
     """Higher-order frequency-space DEIS for blur diffusion.
 
     New capability over the reference (its scalar multistep module is dead
@@ -124,18 +135,22 @@ def build_blur_deis_sampler(config, sde: BlurSDE, yeps_apply, data_shape,
         if u0 is None:
             prior_rng, rng = jax.random.split(rng)
             u0 = sde.prior_sampling(prior_rng, (batch_size,) + tuple(data_shape))
+        u0 = _maybe_shard(u0, mesh)
         x = _run(rng, variables, u0)
         return x, nfe
 
     return sample_fn
 
 
-def build_blur_sampler_from_config(config, sde, yeps_apply, data_shape, inverse_scaler):
+def build_blur_sampler_from_config(config, sde, yeps_apply, data_shape,
+                                   inverse_scaler, mesh=None):
     name = config.sampling.method.lower()
     if name == "order0":
-        return build_blur_sampler(config, sde, yeps_apply, data_shape, inverse_scaler)
+        return build_blur_sampler(
+            config, sde, yeps_apply, data_shape, inverse_scaler, mesh=mesh
+        )
     if name == "deis":
         return build_blur_deis_sampler(
-            config, sde, yeps_apply, data_shape, inverse_scaler
+            config, sde, yeps_apply, data_shape, inverse_scaler, mesh=mesh
         )
     raise ValueError(f"blur package supports 'order0' and 'deis' (got {name})")

@@ -88,11 +88,15 @@ def build_cld_sampler(
     eps_apply: EpsApply,
     data_shape: tuple,
     inverse_scaler: Callable = lambda x: x,
+    mesh=None,
 ):
     """Returns sample_fn(rng, variables, batch_size, u0=None) -> (x, v, nfe).
 
     The returned function jit-compiles one scan program per batch shape and
     reuses it across calls (compilation is cached by JAX on shape/dtype).
+    With `mesh`, the sample batch is sharded over the mesh 'data' axis and the
+    whole NFE scan runs data-parallel across chips (the TPU-native version of
+    the reference's pmapped psampler, cld_jax/sampling.py:194-200).
     """
     sampling = config.sampling
     name = sampling.method.lower()
@@ -119,10 +123,17 @@ def build_cld_sampler(
         x, v = u[..., 0], u[..., 1]
         return inverse_scaler(x), v
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+
     def sample_fn(rng, variables, batch_size=None, u0=None):
         if u0 is None:
             prior_rng, rng = jax.random.split(rng)
             u0 = sde.prior_sampling(prior_rng, (batch_size,) + tuple(data_shape))
+        if mesh is not None and u0.shape[0] % mesh.devices.size == 0:
+            u0 = jax.device_put(u0, batch_sharding)
         x, v = _run(rng, variables, u0)
         return x, v, nfe
 

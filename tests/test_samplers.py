@@ -351,3 +351,33 @@ def test_factory_ode_sampler(dev):
     assert nfe > 10
     # the ODE endpoint contracts positions near zero for delta data
     assert np.abs(np.asarray(x)).max() < 0.2
+
+
+def test_mesh_sharded_sampling_matches_single_device(host, dev):
+    """Sampling with the batch sharded over the 8-device mesh produces the
+    same trajectories as single-device (data-parallel sampling, replacing the
+    reference's pmapped psampler)."""
+    import ml_collections
+
+    from gddim_tpu.parallel import make_mesh
+    from gddim_tpu.samplers.factory import build_cld_sampler
+
+    cfg = ml_collections.ConfigDict()
+    cfg.sampling = dict(
+        method="deis", nfe=8, deis_order=2, ts_order=2, noise_removal=False,
+        is_em=False, lambda_coef=0.0, sdeis_use_order0=True,
+        noise_nfe_ratio=0.3, img_t_ratio=0.3,
+    )
+
+    def eps_apply(variables, u, t_vec):
+        del variables
+        return sbmm(inv2(dev.R(t_vec[0])), u)
+
+    u0 = dev.prior_sampling(jax.random.PRNGKey(0), (16, 4))
+    fn_single = build_cld_sampler(cfg, dev, eps_apply, (4,))
+    x1, v1, _ = fn_single(jax.random.PRNGKey(1), {}, u0=jnp.array(u0))
+    mesh = make_mesh()
+    fn_mesh = build_cld_sampler(cfg, dev, eps_apply, (4,), mesh=mesh)
+    x2, v2, _ = fn_mesh(jax.random.PRNGKey(1), {}, u0=jnp.array(u0))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-6)
