@@ -23,6 +23,86 @@ import msgpack
 import numpy as np
 
 
+def _pack(tree) -> bytes:
+    """Nested dict of arrays -> flax-0.3.1-style msgpack bytes."""
+
+    def default(obj):
+        if isinstance(obj, jnp.ndarray):
+            obj = np.asarray(obj)
+        if isinstance(obj, np.ndarray):
+            return msgpack.ExtType(
+                1,
+                msgpack.packb(
+                    (list(obj.shape), obj.dtype.name, obj.tobytes()),
+                    use_bin_type=True,
+                ),
+            )
+        if isinstance(obj, (np.integer,)):
+            return int(obj)
+        if isinstance(obj, (np.floating,)):
+            return float(obj)
+        raise TypeError(f"unserializable leaf {type(obj)}")
+
+    return msgpack.packb(tree, default=default, use_bin_type=True)
+
+
+def export_legacy_checkpoint(path: str | Path, state) -> Path:
+    """Write a TrainState in the reference's checkpoint layout.
+
+    Produces the `{step, optimizer: {state: {step, param_states}, target},
+    lr, model_state, ema_rate, params_ema, rng}` msgpack tree that
+    `flax.training.checkpoints.restore_checkpoint` + the reference `State`
+    dataclass expect — lets reference users consume gddim_tpu training runs.
+    """
+    import jax
+    import optax
+
+    def find_adam(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node
+        if isinstance(node, tuple):
+            for x in node:
+                r = find_adam(x)
+                if r is not None:
+                    return r
+        return None
+
+    def np_tree(t):
+        return jax.tree.map(lambda x: np.asarray(x), t)
+
+    adam = find_adam(state.opt_state)
+    if adam is not None:
+        mu, nu = np_tree(adam.mu), np_tree(adam.nu)
+
+        def pstates(m, n):
+            if isinstance(m, dict):
+                return {k: pstates(m[k], n[k]) for k in m}
+            return {"grad_ema": m, "grad_sq_ema": n}
+
+        param_states = pstates(mu, nu)
+    else:
+        param_states = {}
+    tree = {
+        "step": int(np.asarray(state.step)),
+        "optimizer": {
+            "state": {
+                "step": int(np.asarray(state.step)),
+                "param_states": param_states,
+            },
+            "target": np_tree(state.params),
+        },
+        "lr": float(state.lr),
+        "model_state": np_tree(state.model_state) if state.model_state else {},
+        "ema_rate": float(state.ema_rate),
+        "params_ema": np_tree(state.params_ema),
+        "rng": np.asarray(state.rng),
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(_pack(tree))
+    return path
+
+
 def _unpack(raw: bytes):
     """msgpack -> nested dict of numpy arrays (flax serialization format)."""
 

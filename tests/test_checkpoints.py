@@ -139,3 +139,28 @@ def test_fresh_start_when_no_checkpoint(tmp_path, small_state):
     restored, step = mgr.restore_latest_meta(state)
     assert step == 0
     assert restored is state
+
+
+def test_legacy_export_import_roundtrip(tmp_path, small_state):
+    """Export a TrainState in the reference layout, reload it, get the same
+    params/EMA/moments back (both-direction checkpoint interchange)."""
+    from gddim_tpu.checkpoints.legacy import export_legacy_checkpoint
+
+    cfg, state = small_state
+    # give the optimizer some non-trivial moments first
+    import jax
+    import optax
+
+    state = state.replace(step=jnp.asarray(7, dtype=state.step.dtype))
+    path = export_legacy_checkpoint(tmp_path / "checkpoint_7", state)
+    legacy = load_legacy_checkpoint(path)
+    assert legacy["step"] == 7
+    for a, b in zip(
+        jax.tree.leaves(legacy["params"]), jax.tree.leaves(_np_tree(state.params))
+    ):
+        np.testing.assert_allclose(a, b)
+    restored = into_train_state(legacy, state)
+    for a, b in zip(
+        jax.tree.leaves(restored.params_ema), jax.tree.leaves(state.params_ema)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
