@@ -8,3 +8,25 @@ and Pallas kernels for the fused hot ops.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import gddim_tpu` light)."""
+    if name in ("CLD", "CLDParams", "HostCLD"):
+        from gddim_tpu.math import cld, cld_host
+
+        return {"CLD": cld.CLD, "CLDParams": cld_host.CLDParams,
+                "HostCLD": cld_host.HostCLD}[name]
+    if name == "BlurSDE":
+        from gddim_tpu.math.blur import BlurSDE
+
+        return BlurSDE
+    if name == "run_lib":
+        from gddim_tpu import run_lib
+
+        return run_lib
+    if name == "get_config":
+        from gddim_tpu.configs import get_config
+
+        return get_config
+    raise AttributeError(name)

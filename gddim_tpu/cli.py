@@ -76,6 +76,20 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+
+    # multi-host (pod) initialization via environment, before touching devices:
+    #   GDDIM_NUM_PROCESSES, GDDIM_PROCESS_ID, GDDIM_COORDINATOR
+    import os
+
+    n_proc = int(os.environ.get("GDDIM_NUM_PROCESSES", "1"))
+    if n_proc > 1:
+        from gddim_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(
+            coordinator=os.environ.get("GDDIM_COORDINATOR"),
+            num_processes=n_proc,
+            process_id=int(os.environ.get("GDDIM_PROCESS_ID", "0")),
+        )
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     fh = logging.FileHandler(workdir / "stdout.txt")
