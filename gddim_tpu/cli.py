@@ -96,6 +96,7 @@ def main(argv=None):
     logging.getLogger().addHandler(fh)
 
     config = _apply_overrides(get_config(args.config), overrides)
+    config.log_wandb = bool(args.wandb)
 
     from gddim_tpu import run_lib
 

@@ -61,19 +61,14 @@ def _conv_bn_relu(x, folded, stride=1, padding=((0, 0), (0, 0))):
 
 
 def _avgpool3(x):
+    """3x3 stride-1 pad-1 average pool, torchvision semantics: the branch
+    pools use F.avg_pool2d(..., count_include_pad=True default), i.e. always
+    divide by 9 (zeros included at the borders)."""
     y = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
-    # count_include_pad=True in torchvision's AvgPool2d default... it uses
-    # count_include_pad=False for inception branch pools; divide by window
-    # overlap counts.
-    ones = jnp.ones_like(x[..., :1])
-    counts = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
-        [(0, 0), (1, 1), (1, 1), (0, 0)],
-    )
-    return y / counts
+    return y / 9.0
 
 
 def _maxpool3s2(x):

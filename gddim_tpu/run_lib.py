@@ -94,7 +94,16 @@ def train(config, workdir: str):
     workdir.mkdir(parents=True, exist_ok=True)
     sample_dir = workdir / "samples"
     is_host0 = jax.process_index() == 0  # host-0 exclusivity for logging/IO
-    metrics = MetricsLogger(workdir, config=config) if is_host0 else None
+    metrics = (
+        MetricsLogger(
+            workdir,
+            enable_wandb=bool(getattr(config, "log_wandb", False)),
+            project=f"gddim_tpu_{getattr(config, 'sde', 'cld')}",
+            config=config,
+        )
+        if is_host0
+        else None
+    )
 
     rng = jax.random.PRNGKey(config.seed)
     rng, init_rng, state_rng = jax.random.split(rng, 3)

@@ -19,11 +19,17 @@ logger = logging.getLogger("gddim_tpu")
 class MetricsLogger:
     def __init__(self, workdir: str | Path, enable_wandb: bool = False,
                  project: str = "gddim_tpu", config=None):
+        import os
+
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
         self.path = self.workdir / "metrics.jsonl"
         self._fh = open(self.path, "a")
         self._wandb = None
+        # cluster job-id capture (reference blur_jax/utils.py:142-145)
+        job_id = os.environ.get("SLURM_JOB_ID") or os.environ.get("NGC_JOB_ID")
+        if job_id:
+            self.log({"job_id": job_id})
         if enable_wandb:
             self._wandb = self._init_wandb(project, config)
 
