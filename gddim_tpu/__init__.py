@@ -22,9 +22,9 @@ def __getattr__(name):
 
         return BlurSDE
     if name == "run_lib":
-        from gddim_tpu import run_lib
+        import importlib
 
-        return run_lib
+        return importlib.import_module("gddim_tpu.run_lib")
     if name == "get_config":
         from gddim_tpu.configs import get_config
 
