@@ -104,3 +104,19 @@ def test_model_groupnorm_params_match_flax_layout():
     assert params["scale"].shape == (32,)
     ref_params = nn.GroupNorm(num_groups=8).init(jax.random.PRNGKey(0), x)["params"]
     assert set(ref_params.keys()) == set(params.keys())
+
+
+def test_flash_attention_blocked_long_sequence(rng):
+    """S=2048 exercises the blocked online-softmax path; must match XLA."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.flash import flash_attention
+
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 2048, 128)).astype(np.float32))
+        for _ in range(3)
+    )
+    ref = np.asarray(attention_xla(q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v, block_q=512, block_k=512))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-5)
