@@ -31,11 +31,30 @@ def attention_xla(q, k, v):
     )
 
 
+@jax.custom_vjp
 def attention_pallas(q, k, v):
-    """Fused attention kernel (lazy import keeps CPU paths Pallas-free)."""
+    """Fused attention kernel (lazy import keeps CPU paths Pallas-free).
+
+    The Pallas kernel has no transpose rule; gradients recompute through the
+    XLA attention (custom_vjp below), so the fused kernel is usable in
+    training as well as sampling.
+    """
     from gddim_tpu.ops.flash import flash_attention
 
     return flash_attention(q, k, v)
+
+
+def _attention_pallas_fwd(q, k, v):
+    return attention_pallas(q, k, v), (q, k, v)
+
+
+def _attention_pallas_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(attention_xla, q, k, v)
+    return vjp(g)
+
+
+attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
 def _pallas_supported(q) -> bool:

@@ -120,3 +120,28 @@ def test_flash_attention_blocked_long_sequence(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(flash_attention(q, k, v, block_q=512, block_k=512))
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_attention_pallas_gradient_matches_xla(rng):
+    """attention_pallas must be differentiable (training path) with gradients
+    equal to the XLA attention's."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.attention import attention_pallas
+
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 256, 128)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def f_pallas(q, k, v):
+        return jnp.sum(attention_pallas(q, k, v) ** 2)
+
+    def f_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
