@@ -70,6 +70,33 @@ def get_score_fn(sde, model, params, states, train=False, continuous=True,
     return score_fn
 
 
+def get_sigmas(config):
+    """SMLD noise scales (reference models/utils.py:69-81)."""
+    from gddim_tpu.models.unet import get_sigmas as _g
+
+    return _g(config)
+
+
+def get_ddpm_params(config):
+    """Original-DDPM schedule constants (reference models/utils.py:84-106)."""
+    num_diffusion_timesteps = 1000
+    beta_start = config.model.beta_min / config.model.num_scales
+    beta_end = config.model.beta_max / config.model.num_scales
+    betas = np.linspace(beta_start, beta_end, num_diffusion_timesteps, dtype=np.float64)
+    alphas = 1.0 - betas
+    alphas_cumprod = np.cumprod(alphas, axis=0)
+    return {
+        "betas": betas,
+        "alphas": alphas,
+        "alphas_cumprod": alphas_cumprod,
+        "sqrt_alphas_cumprod": np.sqrt(alphas_cumprod),
+        "sqrt_1m_alphas_cumprod": np.sqrt(1.0 - alphas_cumprod),
+        "beta_min": beta_start * (num_diffusion_timesteps - 1),
+        "beta_max": beta_end * (num_diffusion_timesteps - 1),
+        "num_diffusion_timesteps": num_diffusion_timesteps,
+    }
+
+
 def to_flattened_numpy(x):
     """(reference models/utils.py:214-216)."""
     return np.asarray(x.reshape(-1))

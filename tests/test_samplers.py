@@ -381,3 +381,15 @@ def test_mesh_sharded_sampling_matches_single_device(host, dev):
     x2, v2, _ = fn_mesh(jax.random.PRNGKey(1), {}, u0=jnp.array(u0))
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-6)
+
+
+def test_edge_case_small_nfe(host, dev):
+    """NFE=2 with denoising leaves a single scan step; NFE=1 without
+    denoising is one step — both must produce valid shapes."""
+    eps_fn = make_eps_fn(dev)
+    u0 = _u0(8)
+    for nfe, denoising in [(2, True), (1, False), (3, True)]:
+        b = coefs.deis_bundle(host, nfe=nfe, order=2, denoising=denoising)
+        out = np.asarray(ab_sample(eps_fn, u0, b))
+        assert out.shape == np.asarray(u0).shape
+        assert np.isfinite(out).all(), (nfe, denoising)
