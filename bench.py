@@ -40,6 +40,7 @@ def _build_config(mode: str, smoke: bool):
     if mode == "opt":
         config.model.dtype = "bfloat16"
         config.model.attention_impl = "auto"
+        config.model.conv_impl = "pallas"
     else:  # reference-faithful baseline
         config.model.dtype = "float32"
         config.model.attention_impl = "einsum5d"

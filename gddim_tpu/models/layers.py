@@ -27,32 +27,88 @@ def default_init(scale: float = 1.0):
     return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
 
 
+# 3x3-conv implementation selector, read at trace time: 'xla' (default) or
+# 'pallas' (gddim_tpu/ops/conv3x3.py, used when the shape qualifies). Set via
+# config.model.conv_impl (consumed by NCSNpp) or directly for benchmarks.
+CONV3X3_IMPL = "xla"
+
+
+class Conv(nn.Module):
+    """nn.Conv-compatible conv (same 'kernel'/'bias' params and scope name
+    'Conv_k') with an optional Pallas 3x3 fast path."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    use_bias: bool = True
+    kernel_dilation: tuple = (1, 1)
+    kernel_init: Any = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or default_init(),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+        use_pallas = False
+        if CONV3X3_IMPL == "pallas" and (kh, kw) == (3, 3):
+            from gddim_tpu.ops import conv3x3 as c3
+
+            use_pallas = c3.supported(
+                x.shape, kernel.shape, self.strides[0], self.kernel_dilation[0]
+            )
+        if use_pallas:
+            from gddim_tpu.ops.conv3x3 import conv3x3_pallas
+
+            y = conv3x3_pallas(x, kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                self.strides,
+                "SAME",
+                rhs_dilation=self.kernel_dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.dtype is not None:
+                b = b.astype(self.dtype)
+            y = y + b
+        return y
+
+
 def conv3x3(x, out_planes, stride=1, bias=True, dilation=1, init_scale=1.0, dtype=None):
     """3x3 conv with DDPM init (reference ddpm_conv3x3, layers.py:138-151)."""
-    return nn.Conv(
+    return Conv(
         out_planes,
         kernel_size=(3, 3),
         strides=(stride, stride),
-        padding="SAME",
         use_bias=bias,
         kernel_dilation=(dilation, dilation),
         kernel_init=default_init(init_scale),
-        bias_init=nn.initializers.zeros,
         dtype=dtype,
     )(x)
 
 
 def conv1x1(x, out_planes, stride=1, bias=True, dilation=1, init_scale=1.0, dtype=None):
-    """1x1 conv with DDPM init (reference ddpm_conv1x1, layers.py:106-116)."""
-    return nn.Conv(
+    """1x1 conv with DDPM init (reference ddpm_conv1x1, layers.py:106-116).
+
+    Uses the same custom Conv module as conv3x3 so the shared 'Conv_k'
+    auto-numbering matches the reference's nn.Conv sequence exactly.
+    """
+    return Conv(
         out_planes,
         kernel_size=(1, 1),
         strides=(stride, stride),
-        padding="SAME",
         use_bias=bias,
         kernel_dilation=(dilation, dilation),
         kernel_init=default_init(init_scale),
-        bias_init=nn.initializers.zeros,
         dtype=dtype,
     )(x)
 

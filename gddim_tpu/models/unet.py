@@ -65,6 +65,11 @@ class NCSNpp(nn.Module):
         act = get_act(config)
         dtype = _model_dtype(config)
 
+        # conv implementation selector (trace-time; see models/layers.py)
+        from gddim_tpu.models import layers as _layers_mod
+
+        _layers_mod.CONV3X3_IMPL = str(getattr(config.model, "conv_impl", "xla"))
+
         nf = config.model.nf
         ch_mult = config.model.ch_mult
         num_res_blocks = config.model.num_res_blocks

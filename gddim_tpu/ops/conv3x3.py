@@ -1,0 +1,132 @@
+"""Pallas 3x3 convolution kernel (stride 1, SAME) as 9 shifted MXU matmuls.
+
+Motivation (measured on the target chip, PERF.md): XLA's conv lowering
+sustains only 27-38 TF/s bf16 while plain matmuls reach ~154 TF/s — and 3x3
+convs carry ~90% of the score U-Net's FLOPs. This kernel reads each input
+tile into VMEM once and accumulates
+
+    out[h, w, :] = sum_{dy, dx} x[h+dy, w+dx, :] @ W[dy, dx, :, :]
+
+as nine (Bt*H*W, C) @ (C, Cout) MXU matmuls against the resident tile, with
+f32 accumulation. The input is pre-padded by one pixel on the host graph (one
+cheap XLA pad), so the kernel body has no boundary conditions.
+
+Supported: stride 1, dilation 1, C and Cout multiples of 128 (the stem and
+head convs with tiny channel counts fall back to XLA). Gradients fall back to
+XLA via custom_vjp like the other fused ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def conv3x3_xla(x, w, stride: int = 1, dilation: int = 1):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        (stride, stride),
+        "SAME",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv_kernel(x_ref, w_ref, o_ref, acc_ref, *, h, w, cin, cout, bt):
+    """x_ref: (bt, h+2, w+2, cin) pre-padded; w_ref: (9, cin, cout)."""
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for dy in range(3):
+        for dx in range(3):
+            tile = x_ref[:, dy : dy + h, dx : dx + w, :]  # (bt, h, w, cin)
+            mat = tile.reshape(bt * h * w, cin)
+            acc_ref[...] += jax.lax.dot_general(
+                mat,
+                w_ref[dy * 3 + dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[...] = acc_ref[...].reshape(bt, h, w, cout).astype(o_ref.dtype)
+
+
+def _pick_bt(b, h, w, cin, cout, itemsize, budget=10 * 2**20):
+    """Largest batch tile whose buffers fit the VMEM budget."""
+    for bt in (16, 8, 4, 2, 1):
+        if b % bt:
+            continue
+        need = (
+            bt * (h + 2) * (w + 2) * cin * itemsize  # input tile
+            + bt * h * w * cout * 4  # f32 accumulator
+            + bt * h * w * cout * itemsize  # output tile
+            + 9 * cin * cout * itemsize  # weights
+        )
+        if need <= budget:
+            return bt
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conv3x3_pallas(x, w):
+    """(B, H, W, C) conv with (3, 3, C, Cout) weights, stride 1, SAME."""
+    b, h, ww, cin = x.shape
+    cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    bt = _pick_bt(b, h, ww, cin, cout, x.dtype.itemsize)
+    wr = w.reshape(9, cin, cout)
+    kernel = functools.partial(
+        _conv_kernel, h=h, w=ww, cin=cin, cout=cout, bt=bt
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec(
+                (bt, h + 2, ww + 2, cin),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, h, ww, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, ww, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bt * h * ww, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * ww * 9 * cin * cout,
+            bytes_accessed=(b * h * ww * (cin + cout) + 9 * cin * cout)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, wr)
+
+
+def _fwd(x, w):
+    return conv3x3_pallas(x, w), (x, w)
+
+
+def _bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda xx, wW: conv3x3_xla(xx, wW), x, w)
+    return vjp(g)
+
+
+conv3x3_pallas.defvjp(_fwd, _bwd)
+
+
+def supported(x_shape, w_shape, stride: int, dilation: int) -> bool:
+    b, h, w, cin = x_shape
+    cout = w_shape[-1]
+    return (
+        jax.default_backend() == "tpu"
+        and stride == 1
+        and dilation == 1
+        and cin % 128 == 0
+        and cout % 128 == 0
+        and w_shape[:2] == (3, 3)
+    )
