@@ -145,3 +145,31 @@ def test_attention_pallas_gradient_matches_xla(rng):
     g2 = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def test_conv3x3_pallas_matches_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_xla, supported
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)).astype(np.float32) * 0.05)
+    ref = np.asarray(conv3x3_xla(x, w))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(conv3x3_pallas(x, w))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # gradient falls back to XLA and matches
+    def f_p(x, w):
+        return jnp.sum(conv3x3_pallas(x, w) ** 2)
+
+    def f_x(x, w):
+        return jnp.sum(conv3x3_xla(x, w) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(f_p, argnums=(0, 1))(x, w)
+    g2 = jax.grad(f_x, argnums=(0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+    # dispatch predicate
+    assert not supported((2, 8, 8, 6), (3, 3, 6, 128), 1, 1)  # cin not 128-mult
+    assert not supported((2, 8, 8, 128), (3, 3, 128, 128), 2, 1)  # strided
