@@ -76,6 +76,11 @@ def get_default_configs():
     model.beta_1 = 0.0
     model.vv_gamma = 0.04
     model.mixed_score = False
+    # Reference-surface knobs for the device-side R(t) integration
+    # (is_R_rk/R_dt/x64/used_cache, cld_jax/sde_lib.py:48,93-118). gddim_tpu
+    # supersedes that machinery: R(t) is solved on the host with adaptive
+    # float64 DOP853 at rtol 1e-12 (beyond RK4@1e-6 accuracy) and cached
+    # content-addressed, so these remain accepted-but-inert for config parity.
     model.is_R_rk = False
     model.R_dt = 1e-5
     model.used_cache = True

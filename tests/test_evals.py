@@ -125,3 +125,17 @@ def test_inception_port_structure(tmp_path):
     ext = load_inception_extractor(str(tmp_path / "w.npz"))
     assert isinstance(ext, FeatureExtractor)
     assert ext.feature_dim == 2048
+
+
+def test_fid_stats_mode(tmp_path):
+    """run_lib.fid_stats writes a loadable (mu, sigma) stats file."""
+    from gddim_tpu import run_lib
+    from gddim_tpu.configs import get_config
+
+    cfg = get_config("cld/simple_cifar10")
+    cfg.data.image_size = 8
+    cfg.eval.num_samples = 64
+    out = run_lib.fid_stats(cfg, out_path=str(tmp_path / "stats.npz"))
+    mu, sigma = load_dataset_stats(out)
+    assert mu.ndim == 1 and sigma.shape == (len(mu), len(mu))
+    assert np.isfinite(mu).all() and np.isfinite(sigma).all()
