@@ -55,22 +55,24 @@ def replicate_to_mesh(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**16):
-    """Shard large parameter leaves over the 'data' axis (ZeRO-3 style).
+def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**16,
+                      axis: str = "data"):
+    """Shard large parameter leaves over a mesh axis (ZeRO-3 style).
 
-    Each leaf whose largest axis is divisible by the mesh size and whose total
-    size exceeds `min_size` is sharded along that axis; the rest replicate.
-    XLA then all-gathers weights on use and reduce-scatters grads — the
-    standard FSDP schedule, expressed purely through shardings.
+    Each leaf whose largest dimension is divisible by the axis size and whose
+    total size exceeds `min_size` is sharded along that dimension; the rest
+    replicate. XLA then all-gathers weights on use and reduce-scatters grads —
+    the standard FSDP schedule, expressed purely through shardings. On a 2-D
+    (data, model) mesh pass axis='model' for dp x fsdp.
     """
-    n = mesh.devices.size
+    n = int(mesh.shape[axis])
 
     def shard_one(x):
         if x.size >= min_size:
-            axis = int(np.argmax(x.shape))
-            if x.shape[axis] % n == 0:
+            dim = int(np.argmax(x.shape))
+            if x.shape[dim] % n == 0:
                 spec = [None] * x.ndim
-                spec[axis] = "data"
+                spec[dim] = axis
                 return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, replicated(mesh))
 
