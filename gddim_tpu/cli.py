@@ -77,10 +77,18 @@ def main(argv=None):
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
 
-    # multi-host (pod) initialization via environment, before touching devices:
-    #   GDDIM_NUM_PROCESSES, GDDIM_PROCESS_ID, GDDIM_COORDINATOR
     import os
 
+    # GDDIM_PLATFORM=cpu|tpu forces the JAX platform through the config API
+    # (this environment's TPU plugin overrides the JAX_PLATFORMS env var).
+    platform = os.environ.get("GDDIM_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    # multi-host (pod) initialization via environment, before touching devices:
+    #   GDDIM_NUM_PROCESSES, GDDIM_PROCESS_ID, GDDIM_COORDINATOR
     n_proc = int(os.environ.get("GDDIM_NUM_PROCESSES", "1"))
     if n_proc > 1:
         from gddim_tpu.parallel.multihost import initialize_distributed

@@ -175,3 +175,33 @@ def test_evaluate_mode_with_sampling_and_fid(tmp_path):
     assert {k: v.get("fid") for k, v in results2.items()} == {
         k: v.get("fid") for k, v in results.items()
     }
+
+
+@pytest.mark.slow
+def test_cli_subprocess_smoke(tmp_path):
+    """The installed CLI surface works end-to-end in a subprocess."""
+    import subprocess
+    import sys
+
+    env = dict(**__import__("os").environ)
+    env["GDDIM_PLATFORM"] = "cpu"  # JAX_PLATFORMS is overridden by the plugin
+    workdir = tmp_path / "cli_run"
+    cmd = [
+        sys.executable, "-m", "gddim_tpu.cli",
+        "--config", "cld/points", "--mode", "train",
+        "--workdir", str(workdir),
+        "--config.training.n_iters=4",
+        "--config.training.n_jitted_steps=2",
+        "--config.training.batch_size=32",
+        "--config.training.log_freq=2",
+        "--config.training.eval_freq=100",
+        "--config.training.snapshot_freq=100",
+        "--config.training.snapshot_freq_for_preemption=100",
+        "--config.training.snapshot_sampling=False",
+        "--config.model.nf=16",
+        "--config.model.num_layers=1",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (workdir / "metrics.jsonl").exists()
+    assert (workdir / "stdout.txt").exists()
