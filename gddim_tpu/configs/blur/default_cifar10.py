@@ -33,6 +33,8 @@ def get_default_configs():
     # gddim_tpu extension: frequency-space DEIS (method='deis') with this
     # polynomial order — the reference only ships order0
     sampling.deis_order = 2
+    # reproduce the reference's G-based eps integrand (drops the D'/D term)
+    sampling.reference_exact = False
 
     config.eval = evaluate = ml_collections.ConfigDict()
     evaluate.begin_ckpt = 9

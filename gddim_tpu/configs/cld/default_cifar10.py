@@ -38,6 +38,9 @@ def get_default_configs():
     sampling.atol = 1e-5
     sampling.rtol = 1e-5
     sampling.ode_method = "RK45"
+    # reproduce the reference's buggy numerics bit-for-bit (non-monotone
+    # hybdeis grid, untransposed sdeis Lyapunov) for released-artifact parity
+    sampling.reference_exact = False
     sampling.lambda_coef = 1.0
     sampling.sdeis_use_order0 = True
 

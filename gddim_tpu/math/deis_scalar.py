@@ -61,8 +61,15 @@ def _schedule_eps_integrand(sde, taus: np.ndarray) -> np.ndarray:
     return ds[:, None, None, None] - dm / m * s[:, None, None, None]
 
 
-def _freq_core(sde, t_start: float, t_end: float, n_quad: int):
-    """Psi(tau, t_end) * E(tau) * dtau over the quadrature grid -> (n, H, W, 1)."""
+def _freq_core(
+    sde, t_start: float, t_end: float, n_quad: int, reference_exact: bool = False
+):
+    """Psi(tau, t_end) * E(tau) * dtau over the quadrature grid -> (n, H, W, 1).
+
+    ``reference_exact`` swaps the schedule-derived integrand for the
+    reference's own G-based formula (blur_jax/sde_lib.py:58-77; it drops the
+    frequency-damping D'/D drift term — see _schedule_eps_integrand's note).
+    """
     import jax.numpy as jnp
 
     taus = t_start + (t_end - t_start) * np.arange(n_quad) / n_quad
@@ -70,12 +77,19 @@ def _freq_core(sde, t_start: float, t_end: float, n_quad: int):
     taus_j = jnp.asarray(taus)
     # psi(tau_k, t_end): ratio formulation, (n, H, W, 1)
     psi = np.asarray(sde.psi(taus_j, jnp.full_like(taus_j, t_end)), dtype=np.float64)
-    integrand = _schedule_eps_integrand(sde, taus)
+    if reference_exact:
+        integrand = np.asarray(sde.eps_integrand(taus_j), dtype=np.float64)
+    else:
+        integrand = _schedule_eps_integrand(sde, taus)
     return psi * integrand * dt, taus
 
 
 def blur_ab_eps_coef(
-    sde, rev_ts: np.ndarray, order: int, n_quad: int = 2000
+    sde,
+    rev_ts: np.ndarray,
+    order: int,
+    n_quad: int = 2000,
+    reference_exact: bool = False,
 ) -> np.ndarray:
     """Scalar AB eps coefficients [N, order+1, H, W, 1] with warm-up."""
     rev_ts = np.asarray(rev_ts, dtype=np.float64)
@@ -84,7 +98,7 @@ def blur_ab_eps_coef(
     out = np.zeros((n_steps, order + 1) + shape, dtype=np.float64)
     for i in range(n_steps):
         o = min(i, order)
-        core, taus = _freq_core(sde, rev_ts[i], rev_ts[i + 1], n_quad)
+        core, taus = _freq_core(sde, rev_ts[i], rev_ts[i + 1], n_quad, reference_exact)
         support = rev_ts[i - o : i + 1][::-1]
         for j in range(o + 1):
             w = lagrange_basis(taus, support, j)
@@ -92,12 +106,18 @@ def blur_ab_eps_coef(
     return out
 
 
-def blur_deis_coef(sde, rev_ts: np.ndarray, order: int, n_quad: int = 2000):
+def blur_deis_coef(
+    sde,
+    rev_ts: np.ndarray,
+    order: int,
+    n_quad: int = 2000,
+    reference_exact: bool = False,
+):
     """(x_coef [N,H,W,1], eps_coef [N,order+1,H,W,1]) stacks."""
     import jax.numpy as jnp
 
     rev_ts = np.asarray(rev_ts, dtype=np.float64)
     ts = jnp.asarray(rev_ts)
     x_coef = np.asarray(sde.psi(ts[:-1], ts[1:]), dtype=np.float64)
-    eps_coef = blur_ab_eps_coef(sde, rev_ts, order, n_quad)
+    eps_coef = blur_ab_eps_coef(sde, rev_ts, order, n_quad, reference_exact)
     return x_coef, eps_coef

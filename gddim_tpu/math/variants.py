@@ -66,9 +66,20 @@ def _interp_table(ts, ys, t):
 class HostLambdaSDE:
     """λ-interpolated stochastic gDDIM kernel (sde_lib.py:334-466)."""
 
-    def __init__(self, cld: HostCLD, lambda_coef: float = 0.1):
+    def __init__(
+        self,
+        cld: HostCLD,
+        lambda_coef: float = 0.1,
+        reference_exact: bool = False,
+    ):
         self.cld = cld
         self.lambda_coef = float(lambda_coef)
+        # reproduce the reference's Lyapunov integration bit-for-bit: the
+        # untransposed `P @ F_hat` term (sde_lib.py:392, a bug yielding
+        # non-symmetric covariances) and its endpoint=False stage-time grid
+        # whose spacing (t-s)/(n+1) mismatches the RK4 step dt=(t-s)/n
+        # (sde_lib.py:386-397)
+        self.reference_exact = bool(reference_exact)
 
     def hat_F(self, t):
         """F̂ = F + ½(1+λ²) G Gᵀ Σ⁻¹ (sde_lib.py:350-355)."""
@@ -152,7 +163,11 @@ class HostLambdaSDE:
         lam2 = self.lambda_coef**2
 
         # Per-pair stage time grids: tau_k, tau_k + dt/2, tau_k + dt.
-        base = s_arr[:, None] + dts[:, None] * np.arange(n_step)[None, :]  # (P, n)
+        # reference_exact: stage bases come from linspace(s, t, n+1,
+        # endpoint=False) — spacing (t-s)/(n+1) — while the RK4 step is still
+        # dt=(t-s)/n (the reference's grid/step mismatch, sde_lib.py:386-397).
+        stage_h = (t_arr - s_arr) / (n_step + 1) if self.reference_exact else dts
+        base = s_arr[:, None] + stage_h[:, None] * np.arange(n_step)[None, :]  # (P, n)
         hf0 = self.hat_F(base)  # (P, n, 2, 2)
         hf_half = self.hat_F(base + 0.5 * dts[:, None])
         hf1 = self.hat_F(base + dts[:, None])
@@ -169,7 +184,11 @@ class HostLambdaSDE:
         dt_b = dts[:, None, None]
         for i in range(n_step):
             a0, ah, a1 = hf0[:, i], hf_half[:, i], hf1[:, i]
-            a0t, aht, a1t = (m.swapaxes(-1, -2) for m in (a0, ah, a1))
+            if self.reference_exact:
+                # the reference's untransposed second term (sde_lib.py:392)
+                a0t, aht, a1t = a0, ah, a1
+            else:
+                a0t, aht, a1t = (m.swapaxes(-1, -2) for m in (a0, ah, a1))
             c0, ch, c1 = const0[:, i], const_half[:, i], const1[:, i]
             k1 = a0 @ x + x @ a0t + c0
             x2 = x + 0.5 * dt_b * k1

@@ -292,7 +292,17 @@ def sampling_from_fn(config, sampling_fn, state, result_folder: Path,
         else:
             x, nfe = out
             extra = {}
-        x8 = np.clip(np.asarray(x) * 255.0, 0, 255).astype(np.uint8)
+        x = np.asarray(x)
+        if not np.isfinite(x).all():
+            # the uint8 cast below would silently swallow NaN/inf (e.g. the
+            # reference_exact hybdeis grid at small NFE, whose duplicated
+            # support points NaN the Lagrange weights — a reference bug we
+            # reproduce under that flag)
+            logger.warning(
+                "round %d: %d non-finite sample values before uint8 cast",
+                r + 1, int((~np.isfinite(x)).sum()),
+            )
+        x8 = np.clip(x * 255.0, 0, 255).astype(np.uint8)
         np.savez_compressed(out_path, samples=x8, nfe=nfe, **extra)
         logger.info(
             "round %d/%d: %d samples in %.1fs (nfe=%s)",

@@ -103,7 +103,12 @@ def build_blur_deis_sampler(config, sde: BlurSDE, yeps_apply, data_shape,
     order = int(sampling.deis_order)
     ts_order = float(sampling.ts_order)
     rev_ts = rev_time_grid(sde.sampling_T, sde.sampling_eps, nfe, ts_order)
-    x_coef, eps_coef = blur_deis_coef(sde, rev_ts, order)
+    x_coef, eps_coef = blur_deis_coef(
+        sde,
+        rev_ts,
+        order,
+        reference_exact=bool(getattr(sampling, "reference_exact", False)),
+    )
 
     @partial(jax.jit, donate_argnums=(2,))
     def _run(rng, variables, y0):

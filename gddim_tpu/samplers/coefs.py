@@ -134,11 +134,18 @@ def hybdeis_bundle(
     noise_nfe_ratio: float = 0.3,
     img_t_ratio: float = 0.3,
     denoising: bool = True,
+    reference_exact: bool = False,
 ) -> ABBundle:
     """Hybrid time-grid DEIS (cld_jax/sampling.py:255-269)."""
     num_step = nfe - 1 if denoising else nfe
     rev_ts = hybrid_time_grid(
-        host.p.T, host.p.sampling_eps, num_step, ts_order, noise_nfe_ratio, img_t_ratio
+        host.p.T,
+        host.p.sampling_eps,
+        num_step,
+        ts_order,
+        noise_nfe_ratio,
+        img_t_ratio,
+        reference_exact=reference_exact,
     )
     return deis_bundle(
         host, nfe, order, ts_order, denoising, rev_ts=rev_ts, name="hybdeis"
@@ -248,15 +255,17 @@ def sdeis_bundle(
     use_order0: bool = True,
     ts_order: float = 2.0,
     denoising: bool = True,
+    reference_exact: bool = False,
 ) -> ABBundle:
     """Stochastic gDDIM with λ-interpolation (cld_jax/sampling.py:380-427).
 
     The last-step covariance is zeroed (parity with sampling.py:420-422) and
     all per-step covariances are pre-factored so the scan draws correlated
-    noise with a single 2x2 matmul.
+    noise with a single 2x2 matmul. ``reference_exact`` reproduces the
+    reference's untransposed-Lyapunov covariances bit-for-bit.
     """
     rev_ts = _grid(host, nfe, ts_order, denoising)
-    lam = HostLambdaSDE(host, lambda_coef)
+    lam = HostLambdaSDE(host, lambda_coef, reference_exact=reference_exact)
 
     def build():
         full = lam.deis_coef(rev_ts, order, use_order0=use_order0)
@@ -266,7 +275,14 @@ def sdeis_bundle(
 
     out = _cached_stack(
         "cld_sdeis",
-        (host.p.key_parts(), rev_ts, order, lambda_coef, bool(use_order0)),
+        (
+            host.p.key_parts(),
+            rev_ts,
+            order,
+            lambda_coef,
+            bool(use_order0),
+            bool(reference_exact),
+        ),
         build,
     )
     return ABBundle(

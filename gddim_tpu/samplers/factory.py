@@ -32,6 +32,7 @@ def _bundle_from_config(host, sampling) -> "coefs.ABBundle | coefs.SSCSBundle":
     denoising = bool(sampling.noise_removal)
     ts_order = float(sampling.ts_order)
     order = int(sampling.deis_order)
+    ref_exact = bool(getattr(sampling, "reference_exact", False))
     if name == "deis":
         return coefs.deis_bundle(host, nfe, order, ts_order, denoising)
     if name == "hybdeis":
@@ -43,6 +44,7 @@ def _bundle_from_config(host, sampling) -> "coefs.ABBundle | coefs.SSCSBundle":
             float(sampling.noise_nfe_ratio),
             float(sampling.img_t_ratio),
             denoising,
+            reference_exact=ref_exact,
         )
     if name == "order0":
         return coefs.order0_bundle(host, nfe, denoising, bool(sampling.is_em))
@@ -59,6 +61,7 @@ def _bundle_from_config(host, sampling) -> "coefs.ABBundle | coefs.SSCSBundle":
             bool(sampling.sdeis_use_order0),
             ts_order,
             denoising,
+            reference_exact=ref_exact,
         )
     if name == "em":
         return coefs.em_bundle(

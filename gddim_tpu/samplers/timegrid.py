@@ -27,6 +27,7 @@ def hybrid_time_grid(
     ts_order: float = 2.0,
     noise_nfe_ratio: float = 0.3,
     img_t_ratio: float = 0.3,
+    reference_exact: bool = False,
 ) -> np.ndarray:
     """Hybrid grid: linear in the noise region, power-law in the image region.
 
@@ -34,12 +35,17 @@ def hybrid_time_grid(
     from mid_t down to t_end. (The reference concatenates a full-range
     [T -> eps] power grid after the noise segment, producing a non-monotonic
     time sequence — an apparent bug; we build the intended monotone grid.)
+
+    With ``reference_exact`` the reference's grid is reproduced bit-for-bit
+    (image segment restarts at T, non-monotone) for runs that must replicate
+    released artifacts of the buggy path.
     """
     mid_t = t_start * img_t_ratio
     noise_nfe = int(num_step * noise_nfe_ratio)
     img_nfe = num_step - noise_nfe
     noise_ts = np.linspace(t_start, mid_t, noise_nfe, endpoint=False)
-    img_ts = rev_time_grid(mid_t, t_end, img_nfe, ts_order)
+    img_start = t_start if reference_exact else mid_t
+    img_ts = rev_time_grid(img_start, t_end, img_nfe, ts_order)
     out = np.concatenate([noise_ts, img_ts])
     assert out.shape[0] == num_step + 1
     return out
