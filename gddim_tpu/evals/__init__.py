@@ -3,5 +3,6 @@ from gddim_tpu.evals.fid import (
     inception_score,
     activation_stats,
     load_dataset_stats,
+    kernel_distance,
 )
 from gddim_tpu.evals.features import get_feature_extractor, run_features_sharded

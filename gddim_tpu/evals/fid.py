@@ -59,6 +59,45 @@ def inception_score(logits: np.ndarray) -> float:
     return float(np.exp(kl.mean()))
 
 
+def kernel_distance(pools1: np.ndarray, pools2: np.ndarray,
+                    max_block_size: int = 1024, seed: int = 0) -> float:
+    """KID: block-averaged unbiased MMD^2 with the polynomial kernel
+    k(x, y) = (x.y / dim + 1)^3, matching
+    tfgan.eval.kernel_classifier_distance_from_activations (the reference
+    computes KID alongside FID, run_lib.py:598-603).
+
+    Both sets are split into ceil(n_max / max_block_size) equal-ish blocks
+    (after a deterministic shuffle) and the unbiased estimator is averaged
+    over paired blocks — tfgan's exact scheme.
+    """
+    x = np.asarray(pools1, dtype=np.float64)
+    y = np.asarray(pools2, dtype=np.float64)
+    n_x, dim = x.shape
+    n_y = y.shape[0]
+    n_blocks = int(np.ceil(max(n_x, n_y) / max_block_size))
+    rng = np.random.default_rng(seed)
+    x = x[rng.permutation(n_x)]
+    y = y[rng.permutation(n_y)]
+    x_blocks = np.array_split(x, n_blocks)
+    y_blocks = np.array_split(y, n_blocks)
+
+    def poly_kernel(a, b):
+        return (a @ b.T / dim + 1.0) ** 3
+
+    ests = []
+    for xb, yb in zip(x_blocks, y_blocks):
+        m, n = len(xb), len(yb)
+        k_xx = poly_kernel(xb, xb)
+        k_yy = poly_kernel(yb, yb)
+        k_xy = poly_kernel(xb, yb)
+        # unbiased: drop diagonals of the within-set terms
+        e_xx = (k_xx.sum() - np.trace(k_xx)) / (m * (m - 1))
+        e_yy = (k_yy.sum() - np.trace(k_yy)) / (n * (n - 1))
+        e_xy = k_xy.mean()
+        ests.append(e_xx + e_yy - 2 * e_xy)
+    return float(np.mean(ests))
+
+
 def load_dataset_stats(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
     """Load (mu, sigma) from an npz stats file (reference evaluation.py:45-60)."""
     with np.load(path) as z:
@@ -68,6 +107,10 @@ def load_dataset_stats(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
         return activation_stats(z["pool_3"])
 
 
-def save_dataset_stats(path: str | Path, mu: np.ndarray, sigma: np.ndarray):
+def save_dataset_stats(path: str | Path, mu: np.ndarray, sigma: np.ndarray,
+                       pools: np.ndarray | None = None):
+    """Write a stats file; with `pools`, raw pool_3 activations are included
+    (the reference's format, run_lib.py:839-844 — required for KID)."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(path, mu=mu, sigma=sigma)
+    extra = {"pool_3": pools} if pools is not None else {}
+    np.savez_compressed(path, mu=mu, sigma=sigma, **extra)

@@ -33,15 +33,21 @@ _ODE_RTOL = 1e-12
 _ODE_ATOL = 1e-14
 
 
-def _dense_matrix_ode(rhs, y0: np.ndarray, t_max: float, cache_name: str, key: str):
-    """Solve a (2,2)-matrix IVP on [0, t_max] and return a fine uniform table."""
+def _dense_matrix_ode(rhs_flat, y0: np.ndarray, t_max: float, cache_name: str, key: str):
+    """Solve a (2,2)-matrix IVP on [0, t_max] and return a fine uniform table.
+
+    `rhs_flat(t, y4) -> 4-tuple` operates on the row-major flattened matrix —
+    scalar float arithmetic, because adaptive solvers call the RHS hundreds of
+    thousands of times on stiff stretches and per-call numpy allocation
+    dominates otherwise (measured ~20x).
+    """
     n_grid = 100_001
     ts = np.linspace(0.0, t_max, n_grid)
     cached = load_npz_cache(cache_name, key)
     if cached is not None:
         return ts, cached["ys"]
     sol = solve_ivp(
-        lambda t, y: rhs(t, y.reshape(2, 2)).reshape(-1),
+        rhs_flat,
         (0.0, t_max),
         y0.reshape(-1),
         method="DOP853",
@@ -90,12 +96,64 @@ class HostLambdaSDE:
         ) @ inv_cov
 
     @cached_property
+    def _hat_F_scalar(self):
+        """Scalar-time F̂ entries `(f01, f10, f11)` (f00 is identically 0).
+
+        Same math as :meth:`hat_F` — R-table linear interp, Σ = R Rᵀ,
+        F̂ = F + ½(1+λ²) G Gᵀ Σ⁻¹ — expressed in plain float arithmetic for
+        adaptive-ODE RHS loops where per-call numpy allocation dominates.
+        """
+        p = self.cld.p
+        ts, rs = self.cld._r_solution
+        h = float(ts[1] - ts[0])
+        n2 = len(ts) - 2
+        r00, r01 = rs[:, 0, 0], rs[:, 0, 1]
+        r10, r11 = rs[:, 1, 0], rs[:, 1, 1]
+        beta0, beta1 = p.beta_0, p.beta_1
+        m_inv, gamma = p.m_inv, p.gamma
+        c = 0.5 * (1.0 + self.lambda_coef**2)
+
+        def entries(t: float):
+            b = beta0 + beta1 * t
+            x = t / h
+            i = int(x)
+            i = 0 if i < 0 else (n2 if i > n2 else i)
+            f = x - i
+            a00 = r00[i] + f * (r00[i + 1] - r00[i])
+            a01 = r01[i] + f * (r01[i + 1] - r01[i])
+            a10 = r10[i] + f * (r10[i + 1] - r10[i])
+            a11 = r11[i] + f * (r11[i + 1] - r11[i])
+            s00 = a00 * a00 + a01 * a01  # Sigma = R Rᵀ (symmetric)
+            s01 = a00 * a10 + a01 * a11
+            s11 = a10 * a10 + a11 * a11
+            det = s00 * s11 - s01 * s01
+            # GGᵀ = [[0,0],[0, 2Γb]]; c·GGᵀ Σ⁻¹ fills only the second row
+            g2c = c * 2.0 * gamma * b / det
+            return (
+                b * m_inv,
+                -b - g2c * s01,
+                -gamma * b * m_inv + g2c * s00,
+            )
+
+        return entries
+
+    def _hat_psi_rhs(self, t, y):
+        """d/dt of row-major-flattened X for dX/dt = F̂(t) X."""
+        f01, f10, f11 = self._hat_F_scalar(t)
+        return (
+            f01 * y[2],
+            f01 * y[3],
+            f10 * y[0] + f11 * y[2],
+            f10 * y[1] + f11 * y[3],
+        )
+
+    @cached_property
     def _hat_psi_table(self):
         key = content_key(
             "lambda_hatpsi", *self.cld.p.key_parts(), self.lambda_coef, _ODE_RTOL
         )
         return _dense_matrix_ode(
-            lambda t, x: self.hat_F(t) @ x,
+            self._hat_psi_rhs,
             np.eye(2),
             1.0 + 1e-3,
             "lambda_hatpsi",
@@ -112,7 +170,7 @@ class HostLambdaSDE:
     def _hat_psi_dense(self, t_from: float, t_to: float):
         """Dense X on [t_from, t_to] with X(t_from) = I (exact, adaptive)."""
         sol = solve_ivp(
-            lambda t, y: (self.hat_F(t) @ y.reshape(2, 2)).reshape(-1),
+            self._hat_psi_rhs,
             (t_from, t_to),
             np.eye(2).reshape(-1),
             method="DOP853",
@@ -313,12 +371,32 @@ class HostMLCLD:
     @cached_property
     def _psi2_table(self):
         key = content_key("mlcld_psi2", *self.cld.p.key_parts(), _ODE_RTOL)
+        p = self.cld.p
+        beta0 = p.beta_0  # beta_1 == 0 (asserted in __init__)
+        m_inv, gamma = p.m_inv, p.gamma
+        inv_sqrt_m = np.sqrt(m_inv)
+        sqrt_m = 1.0 / inv_sqrt_m
+        import math
 
-        def rhs(t, x):
-            c = self.cld
-            return c.inv_psi1(t) @ c.F2(t) @ c.psi1(t) @ x
+        def rhs_flat(t, y):
+            # M(t) = Ψ₁⁻¹ F₂ Ψ₁ in closed form: with θ = β∫·m^{-1/2} and
+            # d = Γ β m⁻¹,  M = d·[[-sin²θ, m^{-1/2}·sinθcosθ],
+            #                      [m^{1/2}·sinθcosθ, -cos²θ]]
+            th = beta0 * t * inv_sqrt_m
+            c_, s_ = math.cos(th), math.sin(th)
+            d = gamma * beta0 * m_inv
+            m00 = -d * s_ * s_
+            m01 = d * inv_sqrt_m * s_ * c_
+            m10 = d * sqrt_m * s_ * c_
+            m11 = -d * c_ * c_
+            return (
+                m00 * y[0] + m01 * y[2],
+                m00 * y[1] + m01 * y[3],
+                m10 * y[0] + m11 * y[2],
+                m10 * y[1] + m11 * y[3],
+            )
 
-        return _dense_matrix_ode(rhs, np.eye(2), 1.0 + 1e-3, "mlcld_psi2", key)
+        return _dense_matrix_ode(rhs_flat, np.eye(2), 1.0 + 1e-3, "mlcld_psi2", key)
 
     def psi2(self, t):
         ts, ys = self._psi2_table

@@ -4,3 +4,9 @@ from gddim_tpu.parallel.mesh import (
     shard_batch,
     batch_sharding,
 )
+from gddim_tpu.parallel.multihost import (
+    allgather_metrics,
+    barrier,
+    initialize_distributed,
+    is_coordinator,
+)

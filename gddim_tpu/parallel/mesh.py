@@ -43,16 +43,42 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_local_shard(x, sh: NamedSharding):
+    """Place per-host data under a (possibly multi-host) sharding.
+
+    Single-process: plain device_put. Multi-process: the host array is this
+    process's slice of the global value (per-host batches from the data
+    pipeline), assembled with make_array_from_process_local_data — the
+    mesh-native replacement for the reference's per-host pmap batching
+    (cld_jax/run_lib.py:144-162).
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
+def put_full_value(x, sh: NamedSharding):
+    """Place a host value EVERY process holds in full under any sharding
+    (replicated state, FSDP-sharded params): each process contributes the
+    addressable slices of its copy."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch with its leading axis sharded over 'data'."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: put_local_shard(x, sh), batch)
 
 
 def replicate_to_mesh(tree, mesh: Mesh):
-    """Replicate a pytree (params/state) across the mesh."""
+    """Replicate a pytree (params/state) across the mesh. Multi-process:
+    every host holds the full value (states are created or restored
+    identically on all processes)."""
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: put_full_value(x, sh), tree)
 
 
 def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**16,
@@ -73,7 +99,7 @@ def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**16,
             if x.shape[dim] % n == 0:
                 spec = [None] * x.ndim
                 spec[dim] = axis
-                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(x, replicated(mesh))
+                return put_full_value(x, NamedSharding(mesh, P(*spec)))
+        return put_full_value(x, replicated(mesh))
 
     return jax.tree.map(shard_one, params)

@@ -30,6 +30,7 @@ from gddim_tpu.evals import (
     frechet_distance,
     get_feature_extractor,
     inception_score,
+    kernel_distance,
     load_dataset_stats,
     run_features_sharded,
 )
@@ -159,11 +160,13 @@ def train(config, workdir: str):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from gddim_tpu.parallel.mesh import put_local_shard
+
     batch_sharding = NamedSharding(mesh, P(None, "data"))
 
     def put_batch(batch):
         return jax.tree.map(
-            lambda x: jax.device_put(jnp.asarray(scaler(x)), batch_sharding), batch
+            lambda x: put_local_shard(scaler(np.asarray(x)), batch_sharding), batch
         )
 
     n_iters = int(config.training.n_iters)
@@ -171,6 +174,7 @@ def train(config, workdir: str):
     eval_freq = int(config.training.eval_freq)
     snapshot_freq = int(config.training.snapshot_freq)
     preempt_freq = int(config.training.snapshot_freq_for_preemption)
+    ema_update_freq = int(getattr(config.training, "ema_update_freq", 10**9))
     sampling_freq = int(
         getattr(config.training, "snapshot_freq_for_sampling", snapshot_freq)
     )
@@ -211,6 +215,16 @@ def train(config, workdir: str):
 
         if cur % preempt_freq < n_jitted:
             mgr.save_meta(cur, jax.device_get(state))
+
+        # occasional params <- params_ema swap with a fresh optimizer
+        # (reference run_lib.py:203-209; inert at the default freq of 1e9)
+        if step != initial_step and cur % ema_update_freq < n_jitted:
+            from gddim_tpu.train.state import swap_params_from_ema
+
+            state = replicate_to_mesh(
+                swap_params_from_ema(jax.device_get(state), config), mesh
+            )
+            logger.info("step %d: update params from ema", cur)
 
         if cur % eval_freq < n_jitted:
             eval_batch = jax.tree.map(
@@ -274,14 +288,26 @@ def restore_state(config, ckpt: str | int, workdir: str | None = None):
 def sampling_from_fn(config, sampling_fn, state, result_folder: Path,
                      num_samples: int, batch_size: int, seed: int = 0,
                      is_continue: bool = True):
-    """Round loop writing samples_<r>.npz (reference run_lib.py:646-731)."""
+    """Round loop writing samples_<r>.npz (reference run_lib.py:646-731).
+
+    Multi-process runs shard rounds across hosts (round r belongs to process
+    r % nproc) and synchronize with a collective barrier afterwards —
+    replacing the reference's per-host sample dirs + filesystem polling
+    (run_lib.py:511-513,560-617). All hosts write distinct files into the
+    shared result folder, so the aggregation step can read them uniformly.
+    """
+    from gddim_tpu.parallel import barrier
+
     result_folder.mkdir(parents=True, exist_ok=True)
     variables = _ema_variables(state)
     rng = jax.random.PRNGKey(seed)
     n_rounds = int(np.ceil(num_samples / batch_size))
+    nproc, pidx = jax.process_count(), jax.process_index()
     for r in range(n_rounds):
         out_path = result_folder / f"samples_{r}.npz"
         rng, sample_rng = jax.random.split(rng)
+        if r % nproc != pidx:
+            continue
         if is_continue and out_path.exists():
             continue
         t0 = time.time()
@@ -308,6 +334,7 @@ def sampling_from_fn(config, sampling_fn, state, result_folder: Path,
             "round %d/%d: %d samples in %.1fs (nfe=%s)",
             r + 1, n_rounds, batch_size, time.time() - t0, nfe,
         )
+    barrier("sampling_rounds_done")
     return n_rounds
 
 
@@ -317,7 +344,10 @@ def sample_data(config, ckpt: str, result_folder: str, workdir: str | None = Non
     model, state = restore_state(config, ckpt, workdir)
     inverse_scaler = get_data_inverse_scaler(config)
     sde = build_sde(config)
-    mesh = make_mesh()
+    # sampling rounds are independent: each host runs its rounds on a mesh of
+    # its LOCAL devices (the reference's per-host pmap layout), while round
+    # ownership is sharded across processes inside sampling_from_fn
+    mesh = make_mesh(devices=jax.local_devices())
     state = replicate_to_mesh(state, mesh)
     sampling_fn = build_sampling_fn(config, sde, model, inverse_scaler, mesh=mesh)
     return sampling_from_fn(
@@ -347,8 +377,15 @@ def _load_samples(result_folder: Path):
 
 
 def check_fid(config, result_folder: str):
-    """Score generated samples: IS + FID vs dataset stats
-    (reference run_lib.py:735-791). Writes report.npz {IS, fid, nfe}."""
+    """Score generated samples: IS + FID (+KID when raw reference pools are
+    available) vs dataset stats (reference run_lib.py:735-791, 596-603).
+    Writes report.npz.
+
+    Guard against incomparable numbers: with the `proxy` extractor (no
+    Inception weights configured) the distance is reported under
+    `fid_proxy`/`kid_proxy`/`IS_proxy` keys — a proxy-FID is NOT comparable
+    to published FID values and must not be read as one.
+    """
     result_folder = Path(result_folder)
     samples, nfe = _load_samples(result_folder)
     samples = samples[: int(config.eval.num_samples)]
@@ -356,54 +393,84 @@ def check_fid(config, result_folder: str):
     mesh = make_mesh()
     pools, logits = run_features_sharded(extractor, samples, mesh=mesh)
 
+    ref_pools = None
     stats_path = str(getattr(config.eval, "stats_path", "") or "")
     if stats_path and Path(stats_path).exists():
         mu_ref, sigma_ref = load_dataset_stats(stats_path)
+        with np.load(stats_path) as z:  # tfgan-era files keep raw activations
+            if "pool_3" in z:
+                ref_pools = z["pool_3"]
+        if mu_ref.shape[0] != extractor.feature_dim:
+            raise ValueError(
+                f"stats file {stats_path} has {mu_ref.shape[0]}-d features but "
+                f"extractor '{extractor.name}' emits {extractor.feature_dim}-d "
+                "— stats and extractor must match"
+            )
     else:
         logger.warning("no stats file; computing dataset stats on the fly")
-        mu_ref, sigma_ref = _dataset_stats(config, extractor, mesh)
+        mu_ref, sigma_ref, ref_pools = _dataset_stats(
+            config, extractor, mesh, return_pools=True
+        )
 
     mu, sigma = activation_stats(pools)
     fid = frechet_distance(mu, sigma, mu_ref, sigma_ref)
     is_score = inception_score(logits)
+    suffix = "_proxy" if extractor.name == "proxy" else ""
+    if suffix:
+        logger.warning(
+            "scoring with the PROXY extractor: fid_proxy is not comparable to "
+            "published FID numbers (set eval.inception_weights for real FID)"
+        )
     report = {
-        "IS": is_score,
-        "fid": fid,
+        f"IS{suffix}": is_score,
+        f"fid{suffix}": fid,
         "nfe": nfe,
         "extractor": extractor.name,
         "n": len(samples),
     }
+    if ref_pools is not None:
+        report[f"kid{suffix}"] = kernel_distance(ref_pools, pools)
     np.savez(result_folder / "report.npz", **report)
     logger.info("FID report: %s", report)
     return report
 
 
-def _dataset_stats(config, extractor, mesh):
+def _dataset_stats(config, extractor, mesh, return_pools: bool = False):
+    """Activation stats over ONE full epoch of the train split — the
+    reference's fid_stats protocol (run_lib.py:806-836: train_ds with
+    evaluation=True, every batch)."""
     train_iter, _ = get_dataset(config, evaluation=True)
-    n_target = min(int(config.eval.num_samples), 50_000)
     imgs = []
-    seen = 0
-    while seen < n_target:
-        batch = next(train_iter)["image"]
-        imgs.append((batch * 255).astype(np.uint8))
-        seen += len(batch)
-    images = np.concatenate(imgs)[:n_target]
+    for batch in train_iter:
+        imgs.append((batch["image"] * 255).astype(np.uint8))
+    images = np.concatenate(imgs)
     pools, _ = run_features_sharded(extractor, images, mesh=mesh)
-    return activation_stats(pools)
+    mu, sigma = activation_stats(pools)
+    if return_pools:
+        return mu, sigma, pools
+    return mu, sigma
 
 
 def fid_stats(config, out_path: str | None = None):
-    """Precompute dataset activation stats (reference run_lib.py:796-844)."""
+    """Precompute dataset activation stats (reference run_lib.py:796-844).
+
+    Saves raw pool_3 activations (the reference's format, enabling KID) plus
+    precomputed mu/sigma; the extractor name is kept in the default filename
+    so proxy-extractor stats can never be mistaken for Inception stats.
+    """
     from gddim_tpu.evals.fid import save_dataset_stats
 
     extractor = get_feature_extractor(config)
     mesh = make_mesh()
-    mu, sigma = _dataset_stats(config, extractor, mesh)
+    mu, sigma, pools = _dataset_stats(config, extractor, mesh, return_pools=True)
     out = Path(
         out_path
-        or (Path("assets/stats") / f"{config.data.dataset.lower()}_{extractor.name}_stats.npz")
+        or (
+            Path("assets/stats")
+            / f"{config.data.dataset.lower()}_{config.data.image_size}_{extractor.name}_stats.npz"
+        )
     )
-    save_dataset_stats(out, mu, sigma)
+    save_dataset_stats(out, mu, sigma, pools=pools)
     logger.info("wrote dataset stats to %s", out)
     return str(out)
 
@@ -444,29 +511,55 @@ def evaluate(config, workdir: str, eval_folder: str = "eval"):
         model, state = restore_state(config, ckpt_id, workdir)
         entry = {}
         if config.eval.enable_loss:
+            # full pass over the held-out split (the reference iterates the
+            # whole 1-epoch eval_ds, run_lib.py:420-447), mean-reduced across
+            # hosts via a DCN collective instead of per-host files
+            from gddim_tpu.parallel import allgather_metrics
+
             loss_builder = make_cld_loss_fn if is_cld(config) else make_blur_loss_fn
             eval_loss_fn = loss_builder(sde, model, train=False)
             eval_step = make_eval_step(config, eval_loss_fn)
             _, eval_iter = get_dataset(config, evaluation=True)
+            # full pass by default; eval.max_eval_batches > 0 truncates (an
+            # extension for smoke runs — the reference always does the full
+            # epoch)
+            max_batches = int(getattr(config.eval, "max_eval_batches", 0) or 0)
             losses = []
             rng = jax.random.PRNGKey(config.seed)
-            for _ in range(8):
-                batch = jax.tree.map(lambda x: jnp.asarray(scaler(x)), next(eval_iter))
+            for i, batch in enumerate(eval_iter):
+                if max_batches and i >= max_batches:
+                    break
+                batch = jax.tree.map(lambda x: jnp.asarray(scaler(x)), batch)
                 rng, sub = jax.random.split(rng)
                 info = eval_step(state, batch, sub)
                 losses.append(float(np.asarray(info["score_loss"])))
-            entry["eval_loss"] = float(np.mean(losses))
+            local = {"eval_loss": float(np.mean(losses))}
+            entry.update(allgather_metrics(local))
         if config.eval.enable_sampling:
-            sampling_fn = build_sampling_fn(config, sde, model, inverse_scaler)
+            mesh = make_mesh(devices=jax.local_devices())
+            state_m = replicate_to_mesh(state, mesh)
+            sampling_fn = build_sampling_fn(
+                config, sde, model, inverse_scaler, mesh=mesh
+            )
             folder = eval_dir / f"ckpt_{ckpt_id}"
             sampling_from_fn(
-                config, sampling_fn, state, folder,
+                config, sampling_fn, state_m, folder,
                 int(config.eval.num_samples), int(config.eval.batch_size),
                 seed=config.seed,
             )
-            entry.update(check_fid(config, folder))
+            # all rounds exist after the barrier inside sampling_from_fn;
+            # host 0 scores, others wait at the next barrier
+            from gddim_tpu.parallel import barrier, is_coordinator
+
+            if is_coordinator():
+                entry.update(
+                    {k: v for k, v in check_fid(config, folder).items()
+                     if np.isscalar(v) or isinstance(v, (int, float, str))}
+                )
+            barrier("fid_scored")
         results[key] = entry
         done[key] = entry
-        meta_path.write_text(json.dumps(done, indent=2))
+        if jax.process_index() == 0:
+            meta_path.write_text(json.dumps(done, indent=2))
         logger.info("ckpt %d: %s", ckpt_id, entry)
     return results

@@ -72,6 +72,17 @@ def create_train_state(rng, config, params, model_state) -> TrainState:
     )
 
 
+def swap_params_from_ema(state: TrainState, config) -> TrainState:
+    """params <- params_ema with a freshly initialized optimizer — the
+    reference's occasional "update from ema" convergence trick
+    (cld_jax/run_lib.py:203-209: rebuilds the flax optimizer around
+    params_ema every training.ema_update_freq steps)."""
+    tx = make_optimizer(config)
+    return state.replace(
+        params=state.params_ema, opt_state=tx.init(state.params_ema)
+    )
+
+
 def ema_update(params_ema, params, rate):
     """p_ema <- p_ema * rate + p * (1 - rate) (reference losses.py:168-171)."""
     return jax.tree.map(

@@ -139,3 +139,37 @@ def test_fid_stats_mode(tmp_path):
     mu, sigma = load_dataset_stats(out)
     assert mu.ndim == 1 and sigma.shape == (len(mu), len(mu))
     assert np.isfinite(mu).all() and np.isfinite(sigma).all()
+
+
+def test_kernel_distance_properties(rng):
+    """KID: unbiased ~0 for same-distribution, positive for shifted; block
+    splitting handles >max_block_size sets (tfgan scheme)."""
+    from gddim_tpu.evals import kernel_distance
+
+    x = rng.normal(size=(1500, 8))
+    y = rng.normal(size=(1500, 8))
+    same = kernel_distance(x, y, max_block_size=1024)
+    assert abs(same) < 0.05
+    z = rng.normal(size=(1500, 8)) + 1.0
+    far = kernel_distance(x, z, max_block_size=1024)
+    assert far > 10 * abs(same)
+    # deterministic given the seed
+    assert kernel_distance(x, z) == kernel_distance(x, z)
+
+
+def test_stats_file_with_pools_roundtrip(tmp_path, rng):
+    """Stats files carrying raw pool_3 (the reference's format) load both ways."""
+    pools = rng.normal(size=(64, 4))
+    mu, sigma = activation_stats(pools)
+    p = tmp_path / "stats_pools.npz"
+    save_dataset_stats(p, mu, sigma, pools=pools)
+    mu2, sigma2 = load_dataset_stats(p)
+    np.testing.assert_allclose(mu, mu2)
+    with np.load(p) as z:
+        assert "pool_3" in z
+    # tfgan-era file: pool_3 only
+    p2 = tmp_path / "tfgan_style.npz"
+    np.savez(p2, pool_3=pools)
+    mu3, sigma3 = load_dataset_stats(p2)
+    np.testing.assert_allclose(mu, mu3)
+    np.testing.assert_allclose(sigma, sigma3)

@@ -67,6 +67,7 @@ def test_deis_coef_parity_default_config(rev_ts, host):
     assert rel < 4e-3, f"max rel diff vs reference default pipeline: {rel:.2e}"
 
 
+@pytest.mark.slow
 def test_order0_coef_parity(rev_ts, host):
     """prepare_order0_coef's 1000-point rule (sde_lib.py:289-306)."""
     shim = RefCLDShim(is_R_rk=True, R_dt=1e-6, x64=True)

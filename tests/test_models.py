@@ -96,6 +96,7 @@ def test_cld_eps_wrapper_and_mixed_score():
     )
 
 
+@pytest.mark.slow
 def test_flagship_architecture_builds():
     """accr_dcifar10: 8 biggan blocks, FIR, progressive_input=residual."""
     cfg = get_config("cld/accr_dcifar10")
@@ -171,6 +172,7 @@ def test_ddpm_resblock_and_positional_embedding():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_progressive_modes_build():
     for progressive, progressive_input in [
         ("output_skip", "input_skip"),
@@ -210,6 +212,7 @@ def test_legacy_ncsn_blocks():
     assert out.shape == (2, 16, 16, 64)
 
 
+@pytest.mark.slow
 def test_wideresnet_classifier_and_guidance():
     from gddim_tpu.models.wideresnet import (
         create_classifier,

@@ -82,3 +82,38 @@ def test_graft_entry_compiles():
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     assert compiled is not None
+
+
+def test_two_process_distributed_train_and_sample(tmp_path):
+    """Real 2-process jax.distributed run (gloo/CPU): global-mesh training
+    with per-host data shards, DCN metric allgather, and round-sharded
+    sampling with a collective barrier (the multi-host protocol replacing
+    reference run_lib.py:511-617)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+
+    worker = Path(__file__).parent / "multihost_worker.py"
+    repo_root = Path(__file__).parents[1]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["GDDIM_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = str(repo_root) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", port, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"worker {i}: OK" in out
+    files = sorted((tmp_path / "samples").iterdir())
+    assert len(files) == 4

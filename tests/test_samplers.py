@@ -35,23 +35,16 @@ def dev():
 
 @pytest.fixture(scope="module")
 def exact_transition(host):
-    """Phi with u(sampling_eps) = Phi @ u(T) for the exact PF ODE (float64)."""
+    """Phi with u(sampling_eps) = Phi @ u(T) for the exact PF ODE (float64).
 
-    def rhs(t, y):
-        phi = y.reshape(2, 2)
-        m = host.F(t) + 0.5 * (host.G(t) @ host.G(t).T) @ inv2(host.cov(t))
-        return (m @ phi).reshape(-1)
+    The PF drift F + ½GGᵀΣ⁻¹ is exactly F̂ at λ=0, so the λ-SDE's fast
+    scalar-RHS dense solver computes it (DOP853, rtol 1e-12)."""
+    from gddim_tpu.math.variants import HostLambdaSDE
 
-    sol = solve_ivp(
-        rhs,
-        (host.p.T, host.p.sampling_eps),
-        np.eye(2).reshape(-1),
-        method="DOP853",
-        rtol=1e-12,
-        atol=1e-14,
+    dense = HostLambdaSDE(host, 0.0)._hat_psi_dense(
+        host.p.T, host.p.sampling_eps
     )
-    assert sol.success
-    return sol.y[:, -1].reshape(2, 2)
+    return np.asarray(dense(host.p.sampling_eps)).reshape(2, 2)
 
 
 def make_eps_fn(dev):
@@ -115,6 +108,7 @@ def _rel_err(approx, exact):
     return np.abs(approx - exact).max() / max(np.abs(exact).max(), 1e-12)
 
 
+@pytest.mark.slow
 def test_deis_order_acceleration(host, dev):
     """Higher DEIS order -> much lower error at fixed NFE (the gDDIM claim),
     measured against the exact PF transition for smooth Gaussian data."""
@@ -134,6 +128,7 @@ def test_deis_order_acceleration(host, dev):
     assert errs[3] < 0.02
 
 
+@pytest.mark.slow
 def test_deis_converges_with_nfe(host, dev):
     u0 = _u0()
     exact_t = smooth_exact_transition(host)
@@ -187,6 +182,7 @@ def test_mldeis_matches_deis_solution(host, dev, exact_transition):
     assert _rel_err(out, out2) < 0.02
 
 
+@pytest.mark.slow
 def test_ldeis_converges(host, dev):
     """ldeis converges to the same exact PF transition, with a worse constant
     than deis (the gDDIM paper's motivation for the R-parameterization).
@@ -218,6 +214,7 @@ def test_sdeis_lambda0_order0_is_exact(host, dev, exact_transition):
     assert _rel_err(out, exact) < 2e-3
 
 
+@pytest.mark.slow
 def test_sdeis_stochastic_marginals(host, dev):
     """lambda=1 sdeis with the exact eps produces the analytic final marginal.
 
@@ -250,6 +247,7 @@ def test_sdeis_stochastic_marginals(host, dev):
     )
 
 
+@pytest.mark.slow
 def test_lambda_sde_marginal_preservation(host):
     """The λ-SDE conditional covariance must satisfy
     Ψ̂ Σ(s) Ψ̂ᵀ + P(s,t) == Σ(t) (this is what exposes the reference's
@@ -298,13 +296,12 @@ def test_denoising_step_runs(host, dev):
     assert len(b.rev_ts) == 10  # 9 scan steps + 1 denoise
 
 
-def test_factory_dispatch(dev):
-    """The factory builds every scan-based sampler from a config."""
+def _run_factory_dispatch(dev, methods):
     import ml_collections
 
     from gddim_tpu.samplers.factory import build_cld_sampler
 
-    for method in ["deis", "order0", "sdeis", "ldeis", "mldeis", "em", "sscs", "hybdeis"]:
+    for method in methods:
         cfg = ml_collections.ConfigDict()
         cfg.sampling = dict(
             method=method,
@@ -328,6 +325,18 @@ def test_factory_dispatch(dev):
         assert x.shape == (8, 4) and v.shape == (8, 4)
         assert nfe == 6
         assert np.isfinite(np.asarray(x)).all(), method
+
+
+def test_factory_dispatch(dev):
+    """The factory builds every plain scan-based sampler from a config."""
+    _run_factory_dispatch(dev, ["deis", "order0", "em", "sscs", "hybdeis"])
+
+
+@pytest.mark.slow
+def test_factory_dispatch_variants(dev):
+    """Variant samplers (lambda-SDE family) require the expensive host
+    Lyapunov/psi2 tables — exercised in the slow tier."""
+    _run_factory_dispatch(dev, ["sdeis", "ldeis", "mldeis"])
 
 
 def test_factory_ode_sampler(dev):

@@ -136,3 +136,27 @@ def test_warmup_schedule():
     assert np.abs(np.asarray(updates["w"])).max() < 1e-12
     updates, opt_state = tx.update(g, opt_state, params)
     assert np.abs(np.asarray(updates["w"])).max() > 1e-6
+
+
+def test_swap_params_from_ema():
+    """The ema_update_freq swap (reference run_lib.py:203-209): params become
+    params_ema and the optimizer state is re-initialized."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gddim_tpu.configs import get_config
+    from gddim_tpu.train.state import create_train_state, swap_params_from_ema
+
+    cfg = get_config("cld/points")
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    state = create_train_state(jax.random.PRNGKey(0), cfg, params, {})
+    state = state.replace(params_ema={"w": jnp.full((3,), 2.0), "b": jnp.ones((2,))})
+    # dirty the optimizer state so the reset is observable
+    dirty = jax.tree.map(lambda x: x + 1.0 if x.dtype.kind == "f" else x, state.opt_state)
+    state = state.replace(opt_state=dirty)
+    new = swap_params_from_ema(state, cfg)
+    np.testing.assert_allclose(np.asarray(new.params["w"]), 2.0)
+    np.testing.assert_allclose(np.asarray(new.params["b"]), 1.0)
+    # Adam moments restart at zero
+    flat = [np.asarray(x) for x in jax.tree.leaves(new.opt_state) if hasattr(x, "dtype") and x.dtype.kind == "f" and x.ndim > 0]
+    assert flat and all(np.allclose(x, 0.0) for x in flat)
