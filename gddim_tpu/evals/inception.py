@@ -71,6 +71,56 @@ def _avgpool3(x):
     return y / 9.0
 
 
+def _avgpool3_excl(x):
+    """3x3 stride-1 pad-1 average pool EXCLUDING padding from the divisor
+    (count_include_pad=False) — the tfgan/2015 FID graph's branch-pool
+    semantics (reference scores against this graph, evaluation.py:27-42)."""
+    y = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+    count = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return y / count
+
+
+def _maxpool3s1(x):
+    """3x3 stride-1 pad-1 max pool: the 2015 graph's Mixed_7c pool branch
+    (reproduced bug-for-bug by pytorch-fid's FIDInceptionE_2)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def _tf1_resize_bilinear(x, size: int):
+    """TF1 ResizeBilinear with align_corners=False: source coordinate is
+    i * (in/out) (asymmetric transform, no half-pixel offset) — what the
+    tfgan inception module applies internally. jax.image.resize uses
+    half-pixel sampling, which scores measurably different FIDs."""
+    b, h, w, c = x.shape
+
+    def axis_weights(n_in, n_out):
+        src = np.arange(n_out, dtype=np.float64) * (n_in / n_out)
+        i0 = np.floor(src).astype(np.int64)
+        i0 = np.clip(i0, 0, n_in - 1)
+        i1 = np.minimum(i0 + 1, n_in - 1)
+        frac = (src - i0).astype(np.float32)
+        return jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(frac)
+
+    r0, r1, rf = axis_weights(h, size)
+    c0, c1, cf = axis_weights(w, size)
+    top = x[:, r0]
+    bot = x[:, r1]
+    rows = top + rf[None, :, None, None] * (bot - top)
+    left = rows[:, :, c0]
+    right = rows[:, :, c1]
+    return left + cf[None, None, :, None] * (right - left)
+
+
 def _maxpool3s2(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
@@ -84,9 +134,21 @@ def _pad(p):
 
 
 class InceptionV3:
-    def __init__(self, state_dict: dict):
+    """mode='torchvision': the modern IMAGENET1K_V1 network (1000 logits).
+    mode='fid2015': the tfgan/2015 frozen FID graph the reference scores with
+    (cld_jax/evaluation.py:27-42) — exclusive-pad branch avg-pools, a MAX
+    pool branch in Mixed_7c, 1008 logits, TF1 asymmetric bilinear resize.
+    Weights: pytorch-fid's pt_inception-2015-12-05 state dict exported to
+    npz (same key layout as torchvision)."""
+
+    def __init__(self, state_dict: dict, mode: str = "torchvision"):
+        assert mode in ("torchvision", "fid2015"), mode
         self.sd = state_dict
+        self.mode = mode
         self._folded = {}
+
+    def _branch_avgpool(self, x):
+        return _avgpool3_excl(x) if self.mode == "fid2015" else _avgpool3(x)
 
     def _f(self, prefix):
         if prefix not in self._folded:
@@ -101,7 +163,7 @@ class InceptionV3:
         b3 = _conv_bn_relu(x, self._f(f"{name}.branch3x3dbl_1"))
         b3 = _conv_bn_relu(b3, self._f(f"{name}.branch3x3dbl_2"), padding=_pad(1))
         b3 = _conv_bn_relu(b3, self._f(f"{name}.branch3x3dbl_3"), padding=_pad(1))
-        bp = _avgpool3(x)
+        bp = self._branch_avgpool(x)
         bp = _conv_bn_relu(bp, self._f(f"{name}.branch_pool"))
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -123,7 +185,7 @@ class InceptionV3:
         bd = _conv_bn_relu(bd, self._f(f"{name}.branch7x7dbl_3"), padding=_pad((0, 3)))
         bd = _conv_bn_relu(bd, self._f(f"{name}.branch7x7dbl_4"), padding=_pad((3, 0)))
         bd = _conv_bn_relu(bd, self._f(f"{name}.branch7x7dbl_5"), padding=_pad((0, 3)))
-        bp = _avgpool3(x)
+        bp = self._branch_avgpool(x)
         bp = _conv_bn_relu(bp, self._f(f"{name}.branch_pool"))
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -137,7 +199,7 @@ class InceptionV3:
         bp = _maxpool3s2(x)
         return jnp.concatenate([b3, b7, bp], axis=-1)
 
-    def _inception_e(self, x, name):
+    def _inception_e(self, x, name, pool_branch="avg"):
         b1 = _conv_bn_relu(x, self._f(f"{name}.branch1x1"))
         b3 = _conv_bn_relu(x, self._f(f"{name}.branch3x3_1"))
         b3a = _conv_bn_relu(b3, self._f(f"{name}.branch3x3_2a"), padding=_pad((0, 1)))
@@ -148,18 +210,26 @@ class InceptionV3:
         bda = _conv_bn_relu(bd, self._f(f"{name}.branch3x3dbl_3a"), padding=_pad((0, 1)))
         bdb = _conv_bn_relu(bd, self._f(f"{name}.branch3x3dbl_3b"), padding=_pad((1, 0)))
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = _avgpool3(x)
+        bp = (
+            _maxpool3s1(x) if pool_branch == "max" else self._branch_avgpool(x)
+        )
         bp = _conv_bn_relu(bp, self._f(f"{name}.branch_pool"))
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
     # --- full network --------------------------------------------------------
     def __call__(self, images):
         """images: (B, H, W, 3) float/uint8 in [0, 255]. Returns pool_3/logits."""
-        x = images.astype(jnp.float32) / 255.0
-        x = jax.image.resize(
-            x, (x.shape[0], 299, 299, 3), "bilinear", antialias=False
-        )
-        x = (x - 0.5) / 0.5  # pytorch-FID convention: [-1, 1]
+        if self.mode == "fid2015":
+            # tfgan pipeline: (x - 127.5) / 127.5 then the module's internal
+            # TF1 asymmetric bilinear resize (evaluation.py:100-102)
+            x = (images.astype(jnp.float32) - 127.5) / 127.5
+            x = _tf1_resize_bilinear(x, 299)
+        else:
+            x = images.astype(jnp.float32) / 255.0
+            x = jax.image.resize(
+                x, (x.shape[0], 299, 299, 3), "bilinear", antialias=False
+            )
+            x = (x - 0.5) / 0.5  # pytorch-FID convention: [-1, 1]
 
         x = _conv_bn_relu(x, self._f("Conv2d_1a_3x3"), stride=2)
         x = _conv_bn_relu(x, self._f("Conv2d_2a_3x3"))
@@ -176,33 +246,46 @@ class InceptionV3:
             x = self._inception_c(x, n)
         x = self._inception_d(x, "Mixed_7a")
         x = self._inception_e(x, "Mixed_7b")
-        x = self._inception_e(x, "Mixed_7c")
+        x = self._inception_e(
+            x, "Mixed_7c", pool_branch="max" if self.mode == "fid2015" else "avg"
+        )
 
         pool = jnp.mean(x, axis=(1, 2))  # (B, 2048)
-        w = jnp.asarray(np.asarray(self.sd["fc.weight"]), jnp.float32)  # (1000, 2048)
+        w = jnp.asarray(np.asarray(self.sd["fc.weight"]), jnp.float32)  # (n_cls, 2048)
         b = jnp.asarray(np.asarray(self.sd["fc.bias"]), jnp.float32)
         logits = pool @ w.T + b
         return {"pool_3": pool, "logits": logits}
 
 
 def load_inception_extractor(weights_path: str):
+    """Build the FID feature extractor from a local weights npz.
+
+    The network variant is inferred from the classifier head: 1008 classes =
+    the tfgan/2015 FID graph (export pytorch-fid's pt_inception-2015-12-05
+    state dict — reports are then comparable to the reference's published
+    FIDs); 1000 classes = torchvision IMAGENET1K_V1.
+    """
     from gddim_tpu.evals.features import FeatureExtractor
 
     path = Path(weights_path)
     if not path.exists():
         raise FileNotFoundError(
             f"inception weights not found at {weights_path}; export them from "
-            "torchvision (see gddim_tpu/evals/inception.py docstring)"
+            "torchvision or pytorch-fid (see gddim_tpu/evals/inception.py)"
         )
     with np.load(path) as z:
         sd = {k: z[k] for k in z.files}
-    net = InceptionV3(sd)
+    n_classes = int(np.asarray(sd["fc.weight"]).shape[0])
+    mode = "fid2015" if n_classes == 1008 else "torchvision"
+    net = InceptionV3(sd, mode=mode)
     apply_fn = jax.jit(net.__call__)
-    return FeatureExtractor("inception_v3", apply_fn, 2048, 1000)
+    name = "inception_fid2015" if mode == "fid2015" else "inception_v3"
+    return FeatureExtractor(name, apply_fn, 2048, n_classes)
 
 
-def random_state_dict(rng: np.random.Generator | None = None) -> dict:
-    """Random torchvision-shaped state dict (for structural tests)."""
+def random_state_dict(rng: np.random.Generator | None = None,
+                      n_classes: int = 1000) -> dict:
+    """Random torchvision/fid2015-shaped state dict (for structural tests)."""
     rng = rng or np.random.default_rng(0)
     sd = {}
 
@@ -287,6 +370,6 @@ def random_state_dict(rng: np.random.Generator | None = None) -> dict:
     c = inception_e("Mixed_7b", c)
     c = inception_e("Mixed_7c", c)
     assert c == 2048, c
-    sd["fc.weight"] = rng.normal(size=(1000, 2048)).astype(np.float32) * 0.02
-    sd["fc.bias"] = np.zeros(1000, dtype=np.float32)
+    sd["fc.weight"] = rng.normal(size=(n_classes, 2048)).astype(np.float32) * 0.02
+    sd["fc.bias"] = np.zeros(n_classes, dtype=np.float32)
     return sd

@@ -173,3 +173,57 @@ def test_stats_file_with_pools_roundtrip(tmp_path, rng):
     mu3, sigma3 = load_dataset_stats(p2)
     np.testing.assert_allclose(mu, mu3)
     np.testing.assert_allclose(sigma, sigma3)
+
+
+def test_tf1_resize_bilinear_asymmetric():
+    """TF1 align_corners=False samples at i*(in/out) — NOT half-pixel."""
+    import jax.numpy as jnp
+    from gddim_tpu.evals.inception import _tf1_resize_bilinear
+
+    x = jnp.arange(4, dtype=jnp.float32).reshape(1, 4, 1, 1)
+    x = jnp.tile(x, (1, 1, 4, 1))
+    out = np.asarray(_tf1_resize_bilinear(x, 8))
+    # rows sample at [0, .5, 1, 1.5, 2, 2.5, 3, 3.5] -> last row clamps to 3
+    np.testing.assert_allclose(
+        out[0, :, 0, 0], [0, 0.5, 1, 1.5, 2, 2.5, 3, 3], atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_inception_fid2015_structure(tmp_path):
+    """The tfgan/2015 FID graph variant: 1008 logits, max-pool Mixed_7c,
+    exclusive-pad avg pools; loader auto-detects the mode from the head."""
+    import jax.numpy as jnp
+    from gddim_tpu.evals.inception import (
+        InceptionV3, load_inception_extractor, random_state_dict,
+    )
+
+    sd = random_state_dict(n_classes=1008)
+    net = InceptionV3(sd, mode="fid2015")
+    imgs = jnp.asarray(
+        (np.random.default_rng(0).random((2, 32, 32, 3)) * 255).astype(np.float32)
+    )
+    out = net(imgs)
+    assert out["pool_3"].shape == (2, 2048)
+    assert out["logits"].shape == (2, 1008)
+    assert np.isfinite(np.asarray(out["pool_3"])).all()
+    # differs from the torchvision graph on the same weights (pool semantics)
+    out_tv = InceptionV3(sd, mode="torchvision")(imgs)
+    assert np.abs(np.asarray(out["pool_3"]) - np.asarray(out_tv["pool_3"])).max() > 1e-4
+
+    np.savez(tmp_path / "w2015.npz", **sd)
+    ext = load_inception_extractor(str(tmp_path / "w2015.npz"))
+    assert ext.name == "inception_fid2015"
+    assert ext.logits_dim == 1008
+
+
+def test_avgpool_exclusive_vs_inclusive():
+    import jax.numpy as jnp
+    from gddim_tpu.evals.inception import _avgpool3, _avgpool3_excl
+
+    x = jnp.ones((1, 4, 4, 1), jnp.float32)
+    incl = np.asarray(_avgpool3(x))
+    excl = np.asarray(_avgpool3_excl(x))
+    assert incl[0, 0, 0, 0] == pytest.approx(4 / 9)  # zeros counted
+    assert excl[0, 0, 0, 0] == pytest.approx(1.0)  # padding excluded
+    assert excl[0, 1, 1, 0] == pytest.approx(1.0)
