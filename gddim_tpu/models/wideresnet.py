@@ -4,10 +4,15 @@ Used by the reference for class-conditional sampling experiments
 (cld_jax/models/wideresnet_noise_conditional.py:297-322, loaded by
 models/utils.py:224-287). Fresh linen implementation: per-image
 standardization, Gaussian-Fourier noise conditioning injected per block,
-identity+zero-pad skips, kaiming-fan-out conv init. BatchNorm is replaced by
-GroupNorm (TPU-friendly: no cross-replica batch statistics, no mutable state
-collections in the sampling path); the classifier here is trained from
-scratch, not loaded from reference checkpoints.
+identity+zero-pad skips, kaiming-fan-out conv init.
+
+Checkpoint-compatible with the reference: despite its filename's "bn"
+scope names, the reference normalizes with GroupNorm too
+(wideresnet_noise_conditional.py:203-207 — its shake-shake/shake-drop
+helpers are dead code inherited from the forked autoaugment file). Module
+scope names (`init_bn`, `bn_2`, `pre-pool-bn`, `conv1`, `conv2`), GroupNorm
+epsilon (1e-5) and group counts match the reference parameter tree exactly
+(asserted by tests/test_param_tree_parity.py).
 """
 
 from __future__ import annotations
@@ -37,25 +42,32 @@ class WideResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, train=True):
-        def norm_relu(h):
-            return nn.relu(nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32))(h))
+        def norm_relu(h, name):
+            # reference `activation` (:203-207): GroupNorm(eps=1e-5,
+            # groups=min(C//4, 32)) + relu, with explicit scope names
+            return nn.relu(
+                nn.GroupNorm(
+                    num_groups=min(h.shape[-1] // 4, 32), epsilon=1e-5,
+                    name=name,
+                )(h)
+            )
 
         if self.activate_before_residual:
-            x = norm_relu(x)
+            x = norm_relu(x, "init_bn")
             orig = x
         else:
             orig = x
-            x = norm_relu(x)
+            x = norm_relu(x, "init_bn")
 
         x = nn.Conv(
             self.channels, (3, 3), self.strides, padding="SAME",
-            kernel_init=_conv_init, use_bias=False,
+            kernel_init=_conv_init, use_bias=False, name="conv1",
         )(x)
         x = x + nn.Dense(self.channels)(nn.swish(temb))[:, None, None, :]
-        x = norm_relu(x)
+        x = norm_relu(x, "bn_2")
         x = nn.Conv(
             self.channels, (3, 3), padding="SAME",
-            kernel_init=_conv_init, use_bias=False,
+            kernel_init=_conv_init, use_bias=False, name="conv2",
         )(x)
 
         if orig.shape != x.shape:
@@ -117,7 +129,12 @@ class WideResnet(nn.Module):
         x = WideResnetGroup(
             self.blocks_per_group, 64 * self.channel_multiplier, (2, 2)
         )(x, temb, train)
-        x = nn.relu(nn.GroupNorm(num_groups=32, name="pre_pool_norm")(x))
+        x = nn.relu(
+            nn.GroupNorm(
+                num_groups=min(x.shape[-1] // 4, 32), epsilon=1e-5,
+                name="pre-pool-bn",
+            )(x)
+        )
         x = nn.avg_pool(x, x.shape[1:3])
         x = x.reshape((x.shape[0], -1))
         return nn.Dense(self.num_outputs, kernel_init=_dense_init)(x)

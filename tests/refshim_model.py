@@ -54,3 +54,18 @@ def load_reference_ncsnpp():
 
     mod = importlib.import_module(f"{_PKG}.ncsnpp")
     return mod.NCSNpp
+
+
+def load_reference_wideresnet():
+    """Return the reference noise-conditional WideResnet class.
+
+    wideresnet_noise_conditional.py is self-contained modern flax.linen (its
+    only legacy reference, `flax.nn.make_rng`, sits in dead shake-shake
+    helpers that the model never calls). Loaded read-only, nothing copied.
+    """
+    name = f"{_PKG}.wideresnet_noise_conditional"
+    if name in sys.modules:
+        return sys.modules[name].WideResnet
+    if _PKG not in sys.modules:
+        load_reference_ncsnpp()  # sets up the synthetic package
+    return importlib.import_module(name).WideResnet

@@ -50,3 +50,38 @@ def test_ncsnpp_param_tree_matches_reference(name):
     wrong = {k: (ours[k], ref[k]) for k in ref if ours[k] != ref[k]}
     assert not wrong, f"shape mismatch vs reference: {dict(list(wrong.items())[:10])}"
     assert len(ref) > 100  # sanity: the deep model really was traversed
+
+
+def test_wideresnet_param_tree_matches_reference():
+    """Classifier checkpoint compatibility: our WideResNet's parameter tree
+    (scope names + shapes) equals the reference model's
+    (cld_jax/models/wideresnet_noise_conditional.py:297-322)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gddim_tpu.models.wideresnet import WideResnet
+    from tests.refshim_model import load_reference_wideresnet
+
+    RefWRN = load_reference_wideresnet()
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    s = jnp.full((2,), 0.5, jnp.float32)
+
+    def tree_shapes(model):
+        var_shapes = jax.eval_shape(
+            lambda k: model.init({"params": k}, x, s, train=False),
+            jax.random.PRNGKey(0),
+        )
+        flat = jax.tree_util.tree_flatten_with_path(var_shapes["params"])[0]
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in path): v.shape
+            for path, v in flat
+        }
+
+    ref_shapes = tree_shapes(
+        RefWRN(blocks_per_group=4, channel_multiplier=10, num_outputs=10)
+    )
+    our_shapes = tree_shapes(
+        WideResnet(blocks_per_group=4, channel_multiplier=10, num_outputs=10)
+    )
+    assert our_shapes == ref_shapes
+    assert any("pre-pool-bn" in k for k in ref_shapes)
