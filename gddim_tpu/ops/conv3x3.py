@@ -119,6 +119,101 @@ def _bwd(res, g):
 conv3x3_pallas.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# int8 inference path
+# ---------------------------------------------------------------------------
+#
+# The MXU runs int8 x int8 -> int32 at ~1.6x the bf16 rate on this chip
+# (measured: 252 TOP/s vs 159 TF/s). Sampling is inference-only, so the conv
+# stacks can run with per-tensor dynamically-quantized activations and
+# per-output-channel weight scales; the dequant (+ optional bias) epilogue is
+# fused into the kernel so the int32 accumulator never touches HBM.
+
+
+def quantize_per_tensor(x):
+    """Symmetric per-tensor int8 quantization with a dynamic scale.
+
+    Returns (q, scale) with x ~= q * scale. The abs-max reduction fuses into
+    the surrounding XLA graph.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_weight_per_channel(w):
+    """(3,3,Cin,Cout) weights -> (int8 weights, (Cout,) f32 scales)."""
+    w = np.asarray(w, dtype=np.float32)
+    sw = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    q = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+    return q, sw.astype(np.float32)
+
+
+def _conv_kernel_int8(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref,
+                      *, h, w, cin, cout, bt):
+    """x_ref: (bt, h+2, w+2, cin) int8 pre-padded; w_ref: (9, cin, cout) int8;
+    scale_ref: (1, cout) f32 combined act*weight scales; bias_ref: (1, cout)."""
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for dy in range(3):
+        for dx in range(3):
+            tile = x_ref[:, dy : dy + h, dx : dx + w, :]
+            mat = tile.reshape(bt * h * w, cin)
+            acc_ref[...] += jax.lax.dot_general(
+                mat,
+                w_ref[dy * 3 + dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+    deq = acc_ref[...].astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+    o_ref[...] = deq.reshape(bt, h, w, cout).astype(o_ref.dtype)
+
+
+def conv3x3_pallas_int8(x8, w8, scale, bias=None, out_dtype=jnp.bfloat16):
+    """int8 3x3 SAME conv: x8 (B,H,W,C) int8, w8 (3,3,C,Cout) or (9,C,Cout)
+    int8, scale () or (Cout,) f32 (act_scale * weight_scales), optional bias.
+    """
+    b, h, ww, cin = x8.shape
+    cout = w8.shape[-1]
+    xp = jnp.pad(x8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wr = w8.reshape(9, cin, cout)
+    scale_row = jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32).reshape(1, -1), (1, cout)
+    )
+    bias_row = (
+        jnp.zeros((1, cout), jnp.float32)
+        if bias is None
+        else jnp.asarray(bias, jnp.float32).reshape(1, cout)
+    )
+    bt = _pick_bt(b, h, ww, cin, cout, 1)
+    kernel = functools.partial(
+        _conv_kernel_int8, h=h, w=ww, cin=cin, cout=cout, bt=bt
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec(
+                (bt, h + 2, ww + 2, cin), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, h, ww, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, ww, cout), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bt * h * ww, cout), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * ww * 9 * cin * cout,
+            bytes_accessed=b * h * ww * (cin + 2 * cout) + 9 * cin * cout,
+            transcendentals=0,
+        ),
+    )(xp, wr, scale_row, bias_row)
+
+
 def supported(x_shape, w_shape, stride: int, dilation: int) -> bool:
     b, h, w, cin = x_shape
     cout = w_shape[-1]

@@ -218,3 +218,91 @@ def ref_rev_ts(T, sampling_eps, ts_order, num_step):
         np.linspace(T ** (1.0 / ts_order), sampling_eps ** (1.0 / ts_order), num_step + 1)
         ** ts_order
     )
+
+
+class RefMLShim:
+    """MLCLD oracle: the rotated y-space the mldeis sampler integrates in
+    (sampling.py:272-326). psi2 is tabulated by the reference's fixed-step
+    RK4 scan (N=100,000 steps of dt=1/N from t=0, collecting the value
+    ENTERING each step — get_ml_psi2_fn, sampling.py:272-284) and linearly
+    interpolated with searchsorted, exactly like R(t)."""
+
+    def __init__(self, base: RefCLDShim, n_steps: int = 100_000):
+        assert base.beta_1 == 0.0  # reference MLCLD assertion
+        self.base = base
+        N = n_steps
+        dt = 1.0 / N
+        ts = np.empty(N + 1)
+        vals = np.empty((N + 1, 2, 2))
+        psi2 = np.eye(2)
+        t = 0.0
+
+        def fn(p, tau):
+            return self.s_inv_psi1(tau) @ self.s_F2(tau) @ self.s_psi1(tau) @ p
+
+        for i in range(N + 1):
+            ts[i] = t
+            vals[i] = psi2
+            k1 = fn(psi2, t)
+            k2 = fn(psi2 + k1 * dt / 2, t + dt / 2)
+            k3 = fn(psi2 + k2 * dt / 2, t + dt / 2)
+            k4 = fn(psi2 + k3 * dt, t + dt)
+            psi2 = psi2 + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            t += dt
+        self._xp = ts
+        self._fp = vals
+
+    # closed-form rotation (sde_lib.py:121-155)
+    def _f1_psi(self, s, t):
+        bi = self.base.beta_int(t) - self.base.beta_int(s)
+        inv_sqrt_m = np.sqrt(self.base.m_inv)
+        sqrt_m = 1.0 / inv_sqrt_m
+        c, s_ = np.cos(bi * inv_sqrt_m), np.sin(bi * inv_sqrt_m)
+        return np.array([[c, inv_sqrt_m * s_], [-sqrt_m * s_, c]])
+
+    def s_psi1(self, t):
+        return self._f1_psi(0.0, t)
+
+    def s_inv_psi1(self, t):
+        return self._f1_psi(t, 0.0)
+
+    def s_F2(self, t):
+        b = self.base.beta_0 + self.base.beta_1 * t
+        gamma = self.base.gamma
+        return np.array([[0.0, 0.0], [0.0, -gamma * b * self.base.m_inv]])
+
+    def _psi2(self, t):
+        t = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        i = np.clip(np.searchsorted(self._xp, t, side="right"), 1, len(self._xp) - 1)
+        dx = (self._xp[i] - self._xp[i - 1])[..., None, None]
+        delta = (t - self._xp[i - 1])[..., None, None]
+        return self._fp[i - 1] + delta / dx * (self._fp[i] - self._fp[i - 1])
+
+    def vs_psi(self, s, t):
+        """psi2(t) @ psi2(s)^-1 over a vector of s (sampling.py:315-317)."""
+        s = np.atleast_1d(np.asarray(s, dtype=np.float64))
+        p_t = self._psi2(float(np.asarray(t)))[0]
+        p_s = self._psi2(s)
+        return p_t @ np.linalg.inv(p_s)
+
+    def v_eps_integrand(self, t):
+        """0.5 psi1^{-1} G Gᵀ R^{-T} (sampling.py:319-326)."""
+        t = np.atleast_1d(np.asarray(t, dtype=np.float64))
+        b = self.base.beta_0 + self.base.beta_1 * t
+        g2 = 2.0 * self.base.gamma * b
+        inv_r_t = np.swapaxes(np.linalg.inv(self.base.s_R(t)), -1, -2)
+        inv_psi1 = np.stack([self.s_inv_psi1(ti) for ti in t])
+        gg = np.zeros((len(t), 2, 2))
+        gg[:, 1, 1] = g2
+        return 0.5 * inv_psi1 @ gg @ inv_r_t
+
+
+def ref_mldeis_coef(shim: RefMLShim, order: int, rev_ts, n_quad=10_000):
+    """MLCLD.get_deis_coef stack [N, order+3, 2, 2] (sampling.py:348-352)."""
+    rev_ts = np.asarray(rev_ts, dtype=np.float64)
+    # x_coef pairs: psi(s_k, t_k) per step (vs_psi takes vector-s, scalar-t)
+    x_coef = np.stack(
+        [shim.vs_psi(np.array([s]), t)[0] for s, t in zip(rev_ts[:-1], rev_ts[1:])]
+    )
+    eps_coef = ref_ab_eps_coef(shim, order + 1, rev_ts, order, n_quad)
+    return np.concatenate([x_coef[:, None], eps_coef], axis=1)

@@ -83,3 +83,22 @@ def test_order0_coef_parity(rev_ts, host):
         )
         ref[i] = core.sum(0) * dt
     assert _max_rel(ours, ref) < 1e-4
+
+
+@pytest.mark.slow
+def test_mldeis_coef_parity(rev_ts, host):
+    """mldeis golden parity (VERDICT weak #7): our rotated y-space stack
+    matches the reference MLCLD pipeline (sampling.py:272-352), including its
+    RK4-tabulated psi2 and the psi1-rotated eps integrand."""
+    from gddim_tpu.math.variants import HostMLCLD
+
+    from refshim_cld import RefMLShim, ref_mldeis_coef
+
+    shim = RefMLShim(RefCLDShim(is_R_rk=True, R_dt=1e-6, x64=True))
+    n = 10  # a subsampled grid keeps the 10k-point quadrature affordable
+    ts = rev_ts[:: len(rev_ts) // n][: n + 1]
+    ref = ref_mldeis_coef(shim, 2, ts)
+    ours = HostMLCLD(host).deis_coef(np.asarray(ts), 2)
+    assert ours.shape == ref.shape
+    rel = _max_rel(ours, ref)
+    assert rel < 1e-4, f"max rel diff vs reference mldeis pipeline: {rel:.2e}"

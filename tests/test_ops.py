@@ -173,3 +173,42 @@ def test_conv3x3_pallas_matches_xla(rng):
     # dispatch predicate
     assert not supported((2, 8, 8, 6), (3, 3, 6, 128), 1, 1)  # cin not 128-mult
     assert not supported((2, 8, 8, 128), (3, 3, 128, 128), 2, 1)  # strided
+
+
+def test_conv3x3_int8_quantized_numerics(rng):
+    """int8 conv (per-tensor act scale, per-channel weight scales, fused
+    dequant+bias epilogue) tracks the f32 conv within quantization error."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.conv3x3 import (
+        conv3x3_pallas_int8,
+        conv3x3_xla,
+        quantize_per_tensor,
+        quantize_weight_per_channel,
+    )
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    w = rng.normal(size=(3, 3, 128, 128)).astype(np.float32) * 0.05
+    bias = rng.normal(size=(128,)).astype(np.float32)
+    ref = np.asarray(conv3x3_xla(x, jnp.asarray(w))) + bias
+
+    x8, sx = quantize_per_tensor(x)
+    w8, sw = quantize_weight_per_channel(w)
+    assert x8.dtype == jnp.int8 and w8.dtype == np.int8
+    # quantization round-trips within 1 LSB
+    np.testing.assert_allclose(
+        np.asarray(x8, np.float32) * float(sx), np.asarray(x), atol=float(sx)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            conv3x3_pallas_int8(
+                x8, jnp.asarray(w8), sx * jnp.asarray(sw), bias=bias,
+                out_dtype=jnp.float32,
+            )
+        )
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel  # int8 quantization error budget
+    # scalar scale path
+    with pltpu.force_tpu_interpret_mode():
+        got2 = conv3x3_pallas_int8(x8, jnp.asarray(w8), sx * float(sw.mean()))
+    assert got2.shape == ref.shape
