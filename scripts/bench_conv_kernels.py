@@ -24,13 +24,13 @@ def bench_scan(step_fn, x0, reps=6):
         def body(h, _):
             return step_fn(h), None
         h, _ = jax.lax.scan(body, x, None, length=K)
-        return h
+        return h.astype(jnp.float32).mean()  # scalar: tunnel transfers 4 bytes
 
     out = run(x0)
-    _ = np.asarray(out).ravel()[0]
+    _ = float(np.asarray(out))
     t0 = time.time()
     outs = [run(x0) for _ in range(reps)]
-    _ = np.asarray(outs[-1]).ravel()[0]
+    _ = float(np.asarray(outs[-1]))
     return (time.time() - t0) / (reps * K)
 
 

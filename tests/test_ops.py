@@ -212,3 +212,26 @@ def test_conv3x3_int8_quantized_numerics(rng):
     with pltpu.force_tpu_interpret_mode():
         got2 = conv3x3_pallas_int8(x8, jnp.asarray(w8), sx * float(sw.mean()))
     assert got2.shape == ref.shape
+
+
+def test_conv_module_int8_impl(rng):
+    """The Conv module's conv_impl='int8' path: same params tree as the
+    f32 path, output within the quantization budget."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    conv = layers.Conv(128, kernel_size=(3, 3))
+    params = conv.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(conv.apply(params, x))
+    old = layers.CONV3X3_IMPL
+    try:
+        layers.CONV3X3_IMPL = "int8"
+        # same params usable in both paths (checkpoint compatibility)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(conv.apply(params, x))
+    finally:
+        layers.CONV3X3_IMPL = old
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
