@@ -28,7 +28,7 @@ import numpy as np
 BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
 
 
-def _build_config(mode: str, smoke: bool):
+def _build_config(mode: str, smoke: bool, conv_impl: str = "int8"):
     from gddim_tpu.configs import get_config
 
     config = get_config("cld/accr_dcifar10")
@@ -40,7 +40,7 @@ def _build_config(mode: str, smoke: bool):
     if mode == "opt":
         config.model.dtype = "bfloat16"
         config.model.attention_impl = "auto"
-        config.model.conv_impl = "pallas"
+        config.model.conv_impl = conv_impl
     else:  # reference-faithful baseline
         config.model.dtype = "float32"
         config.model.attention_impl = "einsum5d"
@@ -69,10 +69,11 @@ def _sample_fn(config):
     return sampler, variables
 
 
-def measure(mode: str, batch: int, reps: int, smoke: bool) -> float:
+def measure(mode: str, batch: int, reps: int, smoke: bool,
+            conv_impl: str = "int8") -> float:
     from gddim_tpu.models import resample
 
-    config = _build_config(mode, smoke)
+    config = _build_config(mode, smoke, conv_impl)
     resample.FIR_IMPL = "channel_batch" if mode == "ref" else "separable"
     try:
         sampler, variables = _sample_fn(config)
@@ -102,20 +103,30 @@ def main():
     parser.add_argument("--mode", choices=["opt", "ref", "both"], default="opt")
     parser.add_argument("--batch", type=int, default=0, help="0 = sweep")
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument(
+        "--conv", default="int8", choices=["int8", "pallas", "xla"],
+        help="conv implementation for the optimized path",
+    )
     args = parser.parse_args()
 
     backend = jax.default_backend()
     smoke = backend == "cpu"
-    batches = [args.batch] if args.batch else ([8] if smoke else [64, 128])
+    batches = [args.batch] if args.batch else ([8] if smoke else [64, 128, 256])
 
     results = {}
     modes = ["ref", "opt"] if args.mode == "both" else [args.mode]
     for mode in modes:
         best = 0.0
         for b in batches:
-            ips = measure(mode, b, args.reps, smoke)
+            try:
+                ips = measure(mode, b, args.reps, smoke, conv_impl=args.conv)
+            except Exception as e:  # e.g. VMEM OOM at a large batch
+                print(f"# {mode} batch={b}: failed ({type(e).__name__})", flush=True)
+                continue
             print(f"# {mode} batch={b}: {ips:.2f} img/s", flush=True)
             best = max(best, ips)
+            if mode == "ref":
+                break  # baseline is cached; one batch point suffices
         results[mode] = best
 
     # resolve the baseline

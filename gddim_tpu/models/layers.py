@@ -64,21 +64,21 @@ class Conv(nn.Module):
                 x.shape, kernel.shape, self.strides[0], self.kernel_dilation[0]
             )
         if qualifies and impl == "int8":
-            # inference-only quantized path: per-tensor dynamic activation
-            # scale, per-channel weight scales, fused dequant+bias epilogue.
+            # inference-only quantized path: per-SAMPLE dynamic activation
+            # scales, per-channel weight scales, fused dequant+bias epilogue.
             # Quantization happens in-graph on the f32 params (negligible next
             # to the conv itself; weights constant-fold under the scan).
-            from gddim_tpu.ops.conv3x3 import conv3x3_pallas_int8, quantize_per_tensor
+            from gddim_tpu.ops.conv3x3 import conv3x3_pallas_int8, quantize_per_sample
 
             w32 = kernel.astype(jnp.float32)
             sw = jnp.maximum(jnp.abs(w32).max(axis=(0, 1, 2)), 1e-12) / 127.0
             w8 = jnp.clip(jnp.round(w32 / sw), -127, 127).astype(jnp.int8)
-            x8, sx = quantize_per_tensor(x)
+            x8, sx = quantize_per_sample(x)
             bias = None
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros, (self.features,))
             return conv3x3_pallas_int8(
-                x8, w8, sx * sw, bias=bias,
+                x8, w8, sw, sx, bias=bias,
                 out_dtype=self.dtype or x.dtype,
             )
         if qualifies and impl == "pallas":

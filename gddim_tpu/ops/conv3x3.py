@@ -54,15 +54,20 @@ def _conv_kernel(x_ref, w_ref, o_ref, acc_ref, *, h, w, cin, cout, bt):
     o_ref[...] = acc_ref[...].reshape(bt, h, w, cout).astype(o_ref.dtype)
 
 
-def _pick_bt(b, h, w, cin, cout, itemsize, budget=10 * 2**20):
-    """Largest batch tile whose buffers fit the VMEM budget."""
+def _pick_bt(b, h, w, cin, cout, itemsize, budget=13 * 2**20):
+    """Largest batch tile whose buffers fit the VMEM budget.
+
+    Grid-iterated input/output blocks are double-buffered by the Pallas
+    pipeline (2x), the accumulator and weights are single instances; the
+    budget leaves headroom under the 16MB scoped-vmem limit.
+    """
     for bt in (16, 8, 4, 2, 1):
         if b % bt:
             continue
         need = (
-            bt * (h + 2) * (w + 2) * cin * itemsize  # input tile
-            + bt * h * w * cout * 4  # f32 accumulator
-            + bt * h * w * cout * itemsize  # output tile
+            2 * bt * (h + 2) * (w + 2) * cin * itemsize  # input tile (2x)
+            + bt * h * w * cout * 4  # f32/int32 accumulator
+            + 2 * bt * h * w * cout * itemsize  # output tile (2x)
             + 9 * cin * cout * itemsize  # weights
         )
         if need <= budget:
@@ -142,6 +147,22 @@ def quantize_per_tensor(x):
     return q, scale
 
 
+def quantize_per_sample(x):
+    """Symmetric PER-SAMPLE int8 quantization: scale[b] = amax(x[b]) / 127.
+
+    Finer than per-tensor (each image gets its own dynamic range — activations
+    across a diffusion batch at different effective noise levels vary widely)
+    and the reduction is per-row so XLA fuses it into the producer.
+    Returns (q, scales) with x[b] ~= q[b] * scales[b]; scales shape (B,).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=tuple(range(1, x.ndim)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    srow = scale.reshape((-1,) + (1,) * (x.ndim - 1))
+    q = jnp.clip(jnp.round(xf / srow), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_weight_per_channel(w):
     """(3,3,Cin,Cout) weights -> (int8 weights, (Cout,) f32 scales)."""
     w = np.asarray(w, dtype=np.float32)
@@ -150,10 +171,13 @@ def quantize_weight_per_channel(w):
     return q, sw.astype(np.float32)
 
 
-def _conv_kernel_int8(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref,
-                      *, h, w, cin, cout, bt):
+def _conv_kernel_int8(x_ref, w_ref, wscale_ref, ascale_ref, bias_ref, o_ref,
+                      acc_ref, *, h, w, cin, cout, bt):
     """x_ref: (bt, h+2, w+2, cin) int8 pre-padded; w_ref: (9, cin, cout) int8;
-    scale_ref: (1, cout) f32 combined act*weight scales; bias_ref: (1, cout)."""
+    wscale_ref: (1, cout) f32 per-channel weight scales; ascale_ref: (B, 1)
+    f32 per-sample activation scales (whole array resident — TPU block shapes
+    must tile (8, 128) or equal the array, so the tiny scale vector loads once
+    and each grid step dynamic-slices its bt rows); bias_ref: (1, cout)."""
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for dy in range(3):
         for dx in range(3):
@@ -165,20 +189,30 @@ def _conv_kernel_int8(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-    deq = acc_ref[...].astype(jnp.float32) * scale_ref[0] + bias_ref[0]
-    o_ref[...] = deq.reshape(bt, h, w, cout).astype(o_ref.dtype)
+    deq = acc_ref[...].astype(jnp.float32).reshape(bt, h, w, cout)
+    a_tile = ascale_ref[pl.ds(pl.program_id(0) * bt, bt), :]
+    deq = deq * (a_tile.reshape(bt, 1, 1, 1) * wscale_ref[0])
+    o_ref[...] = (deq + bias_ref[0]).astype(o_ref.dtype)
 
 
-def conv3x3_pallas_int8(x8, w8, scale, bias=None, out_dtype=jnp.bfloat16):
-    """int8 3x3 SAME conv: x8 (B,H,W,C) int8, w8 (3,3,C,Cout) or (9,C,Cout)
-    int8, scale () or (Cout,) f32 (act_scale * weight_scales), optional bias.
+def conv3x3_pallas_int8(x8, w8, w_scale, act_scale, bias=None,
+                        out_dtype=jnp.bfloat16):
+    """int8 3x3 SAME conv.
+
+    x8 (B,H,W,C) int8; w8 (3,3,C,Cout) or (9,C,Cout) int8; w_scale () or
+    (Cout,) f32 per-channel weight scales; act_scale () or (B,) f32 dynamic
+    activation scales (quantize_per_sample / quantize_per_tensor); optional
+    f32 bias fused into the dequant epilogue.
     """
     b, h, ww, cin = x8.shape
     cout = w8.shape[-1]
     xp = jnp.pad(x8, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wr = w8.reshape(9, cin, cout)
-    scale_row = jnp.broadcast_to(
-        jnp.asarray(scale, jnp.float32).reshape(1, -1), (1, cout)
+    wscale_row = jnp.broadcast_to(
+        jnp.asarray(w_scale, jnp.float32).reshape(1, -1), (1, cout)
+    )
+    ascale_col = jnp.broadcast_to(
+        jnp.asarray(act_scale, jnp.float32).reshape(-1, 1), (b, 1)
     )
     bias_row = (
         jnp.zeros((1, cout), jnp.float32)
@@ -199,6 +233,7 @@ def conv3x3_pallas_int8(x8, w8, scale, bias=None, out_dtype=jnp.bfloat16):
             ),
             pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -211,7 +246,7 @@ def conv3x3_pallas_int8(x8, w8, scale, bias=None, out_dtype=jnp.bfloat16):
             bytes_accessed=b * h * ww * (cin + 2 * cout) + 9 * cin * cout,
             transcendentals=0,
         ),
-    )(xp, wr, scale_row, bias_row)
+    )(xp, wr, wscale_row, ascale_col, bias_row)
 
 
 def supported(x_shape, w_shape, stride: int, dilation: int) -> bool:

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gddim_tpu.ops.conv3x3 import conv3x3_pallas, conv3x3_xla
-from gddim_tpu.ops.conv3x3 import conv3x3_pallas_int8, quantize_per_tensor
+from gddim_tpu.ops.conv3x3 import conv3x3_pallas_int8, quantize_per_sample
 
 K = 32
 
@@ -48,8 +48,8 @@ def main():
         swj = jnp.asarray(sw, jnp.float32)
 
         def int8_step(h):
-            h8, sx = quantize_per_tensor(h)
-            return conv3x3_pallas_int8(h8, w8, sx * swj, out_dtype=jnp.bfloat16)
+            h8, sx = quantize_per_sample(h)
+            return conv3x3_pallas_int8(h8, w8, swj, sx, out_dtype=jnp.bfloat16)
 
         t_i8 = bench_scan(int8_step, xbf)
         flops = 2 * b * s * s * 9 * c * c
@@ -60,8 +60,8 @@ def main():
             flush=True,
         )
         ref = np.asarray(conv3x3_xla(jnp.asarray(x), jnp.asarray(wgt)))
-        x8, sx = quantize_per_tensor(jnp.asarray(x))
-        got = np.asarray(conv3x3_pallas_int8(x8, w8, sx * swj, out_dtype=jnp.float32))
+        x8, sx = quantize_per_sample(jnp.asarray(x))
+        got = np.asarray(conv3x3_pallas_int8(x8, w8, swj, sx, out_dtype=jnp.float32))
         rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
         print(f"  int8 rel err vs f32 conv: {rel:.4f}", flush=True)
 

@@ -202,16 +202,28 @@ def test_conv3x3_int8_quantized_numerics(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(
             conv3x3_pallas_int8(
-                x8, jnp.asarray(w8), sx * jnp.asarray(sw), bias=bias,
+                x8, jnp.asarray(w8), jnp.asarray(sw), sx, bias=bias,
                 out_dtype=jnp.float32,
             )
         )
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.03, rel  # int8 quantization error budget
-    # scalar scale path
+    # per-sample activation scales: at least as accurate as per-tensor
+    from gddim_tpu.ops.conv3x3 import quantize_per_sample
+
+    x_scaled = x * jnp.linspace(0.1, 4.0, x.shape[0]).reshape(-1, 1, 1, 1)
+    ref_s = np.asarray(conv3x3_xla(x_scaled, jnp.asarray(w))) + bias
+    xs8, sxs = quantize_per_sample(x_scaled)
+    assert sxs.shape == (x.shape[0],)
     with pltpu.force_tpu_interpret_mode():
-        got2 = conv3x3_pallas_int8(x8, jnp.asarray(w8), sx * float(sw.mean()))
-    assert got2.shape == ref.shape
+        got_s = np.asarray(
+            conv3x3_pallas_int8(
+                xs8, jnp.asarray(w8), jnp.asarray(sw), sxs, bias=bias,
+                out_dtype=jnp.float32,
+            )
+        )
+    rel_s = np.abs(got_s - ref_s).max() / np.abs(ref_s).max()
+    assert rel_s < 0.03, rel_s
 
 
 def test_conv_module_int8_impl(rng):
