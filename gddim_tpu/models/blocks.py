@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gddim_tpu.models import resample
+from gddim_tpu.models import layers, resample
 from gddim_tpu.models.layers import NIN, conv1x1, conv3x3, default_init, group_norm, norm_act
 from gddim_tpu.ops.attention import self_attention_2d
 
@@ -128,14 +128,19 @@ class ResnetBlockDDPMpp(nn.Module):
     def __call__(self, x, temb=None, train=True):
         _, _, _, c = x.shape
         out_ch = self.out_ch or c
-        h = norm_act(x, self.act)
+        # int8 inference: the norm+silu kernel emits the quantized tensor the
+        # conv consumes directly (no standalone HBM quantize pass)
+        fuse1 = layers.int8_conv_fusion_ok(x.shape, out_ch)
+        h = norm_act(x, self.act, quantize_out=fuse1)
         h = conv3x3(h, out_ch, dtype=self.dtype)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
                 self.act(temb)
             )[:, None, None, :]
-        h = norm_act(h, self.act)
-        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        fuse2 = (not train) and layers.int8_conv_fusion_ok(h.shape, out_ch)
+        h = norm_act(h, self.act, quantize_out=fuse2)
+        if not fuse2:  # eval-time dropout is the identity; skip under fusion
+            h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype)
         if c != out_ch:
             if self.conv_shortcut:
@@ -166,7 +171,13 @@ class ResnetBlockBigGANpp(nn.Module):
     def __call__(self, x, temb=None, train=True):
         _, _, _, c = x.shape
         out_ch = self.out_ch or c
-        h = norm_act(x, self.act)
+        # int8 inference: fuse quantization into the norm+silu kernel when
+        # the output feeds conv3x3 directly (no resampling in between)
+        fuse1 = (
+            not self.up and not self.down
+            and layers.int8_conv_fusion_ok(x.shape, out_ch)
+        )
+        h = norm_act(x, self.act, quantize_out=fuse1)
 
         if self.up:
             if self.fir:
@@ -188,8 +199,10 @@ class ResnetBlockBigGANpp(nn.Module):
             h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
                 self.act(temb)
             )[:, None, None, :]
-        h = norm_act(h, self.act)
-        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        fuse2 = (not train) and layers.int8_conv_fusion_ok(h.shape, out_ch)
+        h = norm_act(h, self.act, quantize_out=fuse2)
+        if not fuse2:  # eval-time dropout is the identity; skip under fusion
+            h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype)
         if c != out_ch or self.up or self.down:
             x = conv1x1(x, out_ch, dtype=self.dtype)

@@ -13,7 +13,7 @@ normalization statistics stay float32.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -33,6 +33,24 @@ def default_init(scale: float = 1.0):
 CONV3X3_IMPL = "xla"
 
 
+class QuantizedActivation(NamedTuple):
+    """Per-sample-quantized activation flowing between fused kernels:
+    value ~= q * scale[:, None, None, None]. Produced by norm_act(...,
+    quantize_out=True); consumed (without an extra HBM quantize pass) by the
+    Conv int8 path, dequantized transparently anywhere else."""
+
+    q: Any  # (B, H, W, C) int8
+    scale: Any  # (B,) f32
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def dequant(self, dtype=jnp.bfloat16):
+        srow = self.scale.reshape((-1,) + (1,) * (self.q.ndim - 1))
+        return (self.q.astype(jnp.float32) * srow).astype(dtype)
+
+
 class Conv(nn.Module):
     """nn.Conv-compatible conv (same 'kernel'/'bias' params and scope name
     'Conv_k') with an optional Pallas 3x3 fast path."""
@@ -48,6 +66,9 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
+        q_in = x if isinstance(x, QuantizedActivation) else None
+        if q_in is not None:
+            x = q_in.q  # shapes/dtype decisions below use the int8 carrier
         kernel = self.param(
             "kernel",
             self.kernel_init or default_init(),
@@ -67,20 +88,28 @@ class Conv(nn.Module):
             # inference-only quantized path: per-SAMPLE dynamic activation
             # scales, per-channel weight scales, fused dequant+bias epilogue.
             # Quantization happens in-graph on the f32 params (negligible next
-            # to the conv itself; weights constant-fold under the scan).
+            # to the conv itself; weights constant-fold under the scan). A
+            # QuantizedActivation input (from a fused norm_act) skips the
+            # standalone quantize pass entirely.
             from gddim_tpu.ops.conv3x3 import conv3x3_pallas_int8, quantize_per_sample
 
             w32 = kernel.astype(jnp.float32)
             sw = jnp.maximum(jnp.abs(w32).max(axis=(0, 1, 2)), 1e-12) / 127.0
             w8 = jnp.clip(jnp.round(w32 / sw), -127, 127).astype(jnp.int8)
-            x8, sx = quantize_per_sample(x)
+            if q_in is not None:
+                x8, sx = q_in.q, q_in.scale
+            else:
+                x8, sx = quantize_per_sample(x)
             bias = None
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out_dtype = self.dtype or (x.dtype if q_in is None else jnp.bfloat16)
             return conv3x3_pallas_int8(
-                x8, w8, sw, sx, bias=bias,
-                out_dtype=self.dtype or x.dtype,
+                x8, w8, sw, sx, bias=bias, out_dtype=out_dtype,
             )
+        if q_in is not None:
+            # quantized input but no int8 conv for this shape: dequantize
+            x = q_in.dequant(self.dtype or jnp.bfloat16)
         if qualifies and impl == "pallas":
             from gddim_tpu.ops.conv3x3 import conv3x3_pallas
 
@@ -221,14 +250,20 @@ class GroupNorm(nn.Module):
     num_groups: int = 32
     epsilon: float = 1e-6
     fuse_silu: bool = False
+    quantize_out: bool = False  # emit QuantizedActivation (int8 inference)
 
     @nn.compact
     def __call__(self, x):
-        from gddim_tpu.ops.groupnorm import group_norm_silu
+        from gddim_tpu.ops.groupnorm import group_norm_silu, group_norm_silu_quant
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if x.ndim == 4 and self.quantize_out:
+            q, s = group_norm_silu_quant(
+                x, scale, bias, self.num_groups, self.epsilon, self.fuse_silu
+            )
+            return QuantizedActivation(q, s)
         if x.ndim == 4:
             return group_norm_silu(
                 x, scale, bias, self.num_groups, self.epsilon, self.fuse_silu
@@ -252,12 +287,27 @@ def group_norm(x, num_groups=None, name=None):
     return GroupNorm(num_groups=num_groups, name=name)(x)
 
 
-def norm_act(x, act, num_groups=None):
+def norm_act(x, act, num_groups=None, quantize_out=False):
     """GroupNorm followed by the activation; fused into one kernel when the
-    activation is SiLU/swish (all reference configs)."""
+    activation is SiLU/swish (all reference configs). With quantize_out (int8
+    inference, output feeding a 3x3 conv directly) the fused kernel emits a
+    QuantizedActivation so the activated tensor never round-trips HBM in bf16.
+    """
     c = x.shape[-1]
     if num_groups is None:
         num_groups = min(c // 4, 32)
     if act is nn.swish:
-        return GroupNorm(num_groups=num_groups, fuse_silu=True)(x)
+        return GroupNorm(
+            num_groups=num_groups, fuse_silu=True,
+            quantize_out=bool(quantize_out),
+        )(x)
     return act(GroupNorm(num_groups=num_groups)(x))
+
+
+def int8_conv_fusion_ok(x_shape, out_ch: int) -> bool:
+    """True when a norm_act -> conv3x3 pair can run the fused int8 pipeline."""
+    if CONV3X3_IMPL != "int8":
+        return False
+    from gddim_tpu.ops import conv3x3 as c3
+
+    return c3.supported(x_shape, (3, 3, x_shape[-1], out_ch), 1, 1)

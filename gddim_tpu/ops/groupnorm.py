@@ -87,6 +87,71 @@ def _gn_silu_pallas(x, scale, bias, num_groups: int, eps: float,
     return out.reshape(b, h, w, c)
 
 
+def _gn_silu_quant_kernel(x_ref, scale_ref, bias_ref, pmat_ref, o_ref, s_ref,
+                          *, inv_n, eps, apply_silu):
+    """GroupNorm(+SiLU) fused with per-sample int8 quantization: the
+    activated tensor never round-trips through HBM in bf16 — one int8 write
+    plus a broadcast scale tile. Feeds conv3x3_pallas_int8 directly."""
+    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    p = pmat_ref[...]
+    s = jnp.sum(x, axis=0, keepdims=True)
+    sq = jnp.sum(x * x, axis=0, keepdims=True)
+    mean = jax.lax.dot(s, p, preferred_element_type=jnp.float32) * inv_n
+    esq = jax.lax.dot(sq, p, preferred_element_type=jnp.float32) * inv_n
+    var = esq - mean * mean
+    norm = (x - mean) * jax.lax.rsqrt(var + eps)
+    out = norm * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    if apply_silu:
+        out = out * jax.nn.sigmoid(out)
+    qs = jnp.maximum(jnp.max(jnp.abs(out)), 1e-12) / 127.0
+    o_ref[0] = jnp.clip(jnp.round(out / qs), -127, 127).astype(jnp.int8)
+    # (8, 128) broadcast tile per sample: the smallest output block the TPU
+    # lowering accepts; the caller reads [:, 0, 0]
+    s_ref[0] = jnp.full((8, 128), qs, jnp.float32)
+
+
+def _gn_silu_quant_pallas(x, scale, bias, num_groups: int, eps: float,
+                          apply_silu: bool):
+    b, h, w, c = x.shape
+    xf = x.reshape(b, h * w, c)
+    inv_n = 1.0 / (h * w * (c // num_groups))
+    kernel = functools.partial(
+        _gn_silu_quant_kernel, inv_n=inv_n, eps=eps, apply_silu=apply_silu
+    )
+    x_spec = pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    q, s_tile = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[x_spec, p_spec, p_spec, m_spec],
+        out_specs=[
+            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h * w, c), jnp.int8),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        ],
+    )(xf, scale.reshape(1, c), bias.reshape(1, c), _group_indicator(c, num_groups))
+    return q.reshape(b, h, w, c), s_tile[:, 0, 0]
+
+
+def group_norm_silu_quant(x, scale, bias, num_groups: int = 32,
+                          eps: float = 1e-6, apply_silu: bool = True):
+    """GroupNorm(+SiLU) returning (int8 tensor, per-sample scales).
+
+    Inference-only (int8 rounding has no useful gradient). Off-TPU or for
+    unsupported shapes it falls back to the reference + quantize_per_sample.
+    """
+    if jax.default_backend() == "tpu" and _supported(x):
+        return _gn_silu_quant_pallas(x, scale, bias, num_groups, eps, apply_silu)
+    from gddim_tpu.ops.conv3x3 import quantize_per_sample
+
+    out = group_norm_silu_reference(x, scale, bias, num_groups, eps, apply_silu)
+    return quantize_per_sample(out)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def group_norm_silu(x, scale, bias, num_groups: int = 32, eps: float = 1e-6,
                     apply_silu: bool = True):

@@ -247,3 +247,72 @@ def test_conv_module_int8_impl(rng):
         layers.CONV3X3_IMPL = old
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.03, rel
+
+
+def test_group_norm_silu_quant_kernel(rng):
+    """Fused GN+SiLU+int8-quantize: dequantized output matches the unfused
+    reference within quantization error; scales are per-sample."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.groupnorm import (
+        _gn_silu_quant_pallas,
+        group_norm_silu_quant,
+        group_norm_silu_reference,
+    )
+
+    x = jnp.asarray(rng.normal(size=(3, 8, 8, 128)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    ref = np.asarray(group_norm_silu_reference(x, scale, bias, 32))
+    with pltpu.force_tpu_interpret_mode():
+        q, s = _gn_silu_quant_pallas(x, scale, bias, 32, 1e-6, True)
+    assert q.dtype == jnp.int8 and s.shape == (3,)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[:, None, None, None]
+    assert np.abs(deq - ref).max() <= np.asarray(s).max() * 1.01  # 1 LSB
+    # CPU fallback path produces equivalent numbers
+    q2, s2 = group_norm_silu_quant(x, scale, bias, 32)
+    deq2 = np.asarray(q2, np.float32) * np.asarray(s2)[:, None, None, None]
+    np.testing.assert_allclose(deq, deq2, atol=float(np.asarray(s).max()) * 1.01)
+
+
+def test_resblock_int8_fusion_matches_unfused(rng):
+    """A BigGAN resblock under conv_impl='int8' (fused GN->quant->conv) stays
+    within the quantization budget of the f32 block, with identical params."""
+    import flax.linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import ResnetBlockBigGANpp
+
+    block = ResnetBlockBigGANpp(act=nn.swish, dropout=0.0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    params = block.init(
+        {"params": jax.random.PRNGKey(0)}, x, temb, train=False
+    )
+    ref = np.asarray(block.apply(params, x, temb, train=False))
+    old = layers.CONV3X3_IMPL
+    try:
+        layers.CONV3X3_IMPL = "int8"
+        # int8 path requires a "tpu" backend answer from supported(); fusion
+        # predicate checks shapes only after the impl flag, so patch the
+        # backend check through interpret mode + monkeypatched supported.
+        from gddim_tpu.ops import conv3x3 as c3
+
+        orig_supported = c3.supported
+
+        def fake_supported(x_shape, w_shape, stride, dilation):
+            return (
+                stride == 1 and dilation == 1
+                and x_shape[-1] % 128 == 0 and w_shape[-1] % 128 == 0
+                and w_shape[:2] == (3, 3)
+            )
+
+        c3.supported = fake_supported
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(block.apply(params, x, temb, train=False))
+    finally:
+        layers.CONV3X3_IMPL = old
+        c3.supported = orig_supported
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
