@@ -58,16 +58,24 @@ def _pick_bt(b, h, w, cin, cout, itemsize, budget=13 * 2**20):
     """Largest batch tile whose buffers fit the VMEM budget.
 
     Grid-iterated input/output blocks are double-buffered by the Pallas
-    pipeline (2x), the accumulator and weights are single instances; the
-    budget leaves headroom under the 16MB scoped-vmem limit.
+    pipeline (2x) and padded to the dtype's native tiling ((8,128) f32/bf16,
+    (32,128) int8) on the last two dims; the budget leaves headroom under the
+    16MB scoped-vmem limit.
     """
+    sub = 32 if itemsize == 1 else (16 if itemsize == 2 else 8)
+
+    def pad(n, m):
+        return -(-n // m) * m
+
     for bt in (16, 8, 4, 2, 1):
         if b % bt:
             continue
+        in_tile = bt * (h + 2) * pad(w + 2, sub) * pad(cin, 128) * itemsize
+        out_tile = bt * h * pad(w, sub) * pad(cout, 128) * itemsize
         need = (
-            2 * bt * (h + 2) * (w + 2) * cin * itemsize  # input tile (2x)
+            2 * in_tile  # double-buffered input
             + bt * h * w * cout * 4  # f32/int32 accumulator
-            + 2 * bt * h * w * cout * itemsize  # output tile (2x)
+            + 2 * out_tile  # double-buffered output
             + 9 * cin * cout * itemsize  # weights
         )
         if need <= budget:
