@@ -171,6 +171,46 @@ class ResnetBlockBigGANpp(nn.Module):
     def __call__(self, x, temb=None, train=True):
         _, _, _, c = x.shape
         out_ch = self.out_ch or c
+        # whole-block fusion (conv_impl='fused', inference): one Pallas kernel
+        # runs GN+SiLU+conv+temb+GN+SiLU+conv+skip with the sample resident in
+        # VMEM — the model is HBM-bound, so collapsing ~10 activation passes
+        # into read-x/write-out is the dominant win (gddim_tpu/ops/resblock.py).
+        # Params are read straight from this block's bound scope; init() takes
+        # the normal path so the parameter tree is identical.
+        from gddim_tpu.ops import resblock as resblock_ops
+
+        if (
+            layers.CONV3X3_IMPL == "fused"
+            and not train
+            and not self.up and not self.down
+            and temb is not None
+            and self.act is nn.swish
+            and not self.is_initializing()
+            and resblock_ops.supported(x.shape, out_ch)
+        ):
+            vs = self.variables["params"]
+            temb_proj = (
+                self.act(temb).astype(jnp.float32)
+                @ vs["Dense_0"]["kernel"].astype(jnp.float32)
+                + vs["Dense_0"]["bias"].astype(jnp.float32)
+            )
+            w_skip = b_skip = None
+            if c != out_ch:
+                w_skip = vs["Conv_2"]["kernel"][0, 0]
+                b_skip = vs["Conv_2"]["bias"]
+            return resblock_ops.fused_resblock(
+                x, temb_proj,
+                vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
+                vs["Conv_0"]["kernel"], vs["Conv_0"]["bias"],
+                vs["GroupNorm_1"]["scale"], vs["GroupNorm_1"]["bias"],
+                vs["Conv_1"]["kernel"], vs["Conv_1"]["bias"],
+                w_skip, b_skip,
+                num_groups1=min(c // 4, 32),
+                num_groups2=min(out_ch // 4, 32),
+                skip_rescale=self.skip_rescale,
+                mm_dtype=resblock_ops.MM_DTYPE,
+            )
+
         # int8 inference: fuse quantization into the norm+silu kernel when
         # the output feeds conv3x3 directly (no resampling in between)
         fuse1 = (

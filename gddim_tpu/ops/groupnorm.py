@@ -152,11 +152,17 @@ def group_norm_silu_quant(x, scale, bias, num_groups: int = 32,
     return quantize_per_sample(out)
 
 
+# 'pallas' (default): fused VMEM kernel on TPU. 'xla': plain lowering — a
+# Pallas call is a fusion barrier, so letting XLA fuse the norm chain into
+# neighbors can win when the graph around it is fusion-rich (benchmarked).
+GN_IMPL = "pallas"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def group_norm_silu(x, scale, bias, num_groups: int = 32, eps: float = 1e-6,
                     apply_silu: bool = True):
     """Fused GroupNorm(+SiLU); Pallas forward on TPU, XLA elsewhere."""
-    if jax.default_backend() == "tpu" and _supported(x):
+    if GN_IMPL == "pallas" and jax.default_backend() == "tpu" and _supported(x):
         return _gn_silu_pallas(x, scale, bias, num_groups, eps, apply_silu)
     return group_norm_silu_reference(x, scale, bias, num_groups, eps, apply_silu)
 

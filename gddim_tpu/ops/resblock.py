@@ -1,0 +1,229 @@
+"""Fused residual-block Pallas kernel (inference fast path).
+
+Cost analysis of the compiled NCSN++ eps function (PERF.md) shows the model
+is HBM-bound: ~12 GB of activation traffic per batch-64 eval vs 14 ms of
+matmul work — and per-op kernels cannot fix that, because every pallas_call
+is a fusion barrier that forces its operands through HBM.
+
+This kernel executes an ENTIRE BigGAN/DDPM residual block
+(reference layerspp.py:146-227):
+
+    h = silu(GN1(x))
+    h = conv3x3(h, W1) + b1 + temb_proj[:, None, None, :]
+    h = silu(GN2(h))
+    h = conv3x3(h, W2) + b2            (dropout is identity at eval)
+    out = (x or conv1x1(x, Ws)) + h    [* 1/sqrt(2) with skip_rescale]
+
+per batch-tile entirely in VMEM: x is read from HBM once and the block
+output written once — 2 passes instead of the ~10 the unfused chain costs.
+Group statistics use the (C, C) same-group indicator matmul (one MXU pass,
+no lane reshapes); convs are the 9-shifted-matmul scheme of conv3x3.py.
+
+Applies to stride-1 blocks without in-block resampling, C and C_out
+multiples of 128. Inference-only: the training path keeps the composable
+modules (gradients would need a dedicated backward kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gddim_tpu.ops.groupnorm import _group_indicator
+
+_INV_SQRT2 = 0.7071067811865476
+
+# matmul precision inside the kernel (tests override to f32 for exact
+# comparison against the XLA composition)
+MM_DTYPE = jnp.bfloat16
+
+
+def _gn_silu_block(x, pmat, scale, bias, inv_n, eps):
+    """x: (n, C) f32 resident -> silu(GroupNorm(x)) via indicator matmul."""
+    s = jnp.sum(x, axis=0, keepdims=True)
+    sq = jnp.sum(x * x, axis=0, keepdims=True)
+    mean = jax.lax.dot(s, pmat, preferred_element_type=jnp.float32) * inv_n
+    esq = jax.lax.dot(sq, pmat, preferred_element_type=jnp.float32) * inv_n
+    var = esq - mean * mean
+    norm = (x - mean) * jax.lax.rsqrt(var + eps)
+    out = norm * scale + bias
+    return out * jax.nn.sigmoid(out)
+
+
+def _conv9(h_pad_ref, w_ref, h, w, cin, cout, dtype):
+    """9 shifted matmuls over the VMEM-resident padded tile (1 sample)."""
+    acc = jnp.zeros((h * w, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tile = h_pad_ref[dy : dy + h, dx : dx + w, :]
+            acc += jax.lax.dot_general(
+                tile.reshape(h * w, cin).astype(dtype),
+                w_ref[dy * 3 + dx].astype(dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    return acc
+
+
+def _resblock_kernel(
+    x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref,
+    gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, wskip_ref, bskip_ref,
+    o_ref, hpad_ref, hpad2_ref,
+    *, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
+):
+    """One sample per grid step; all weights + the tile resident in VMEM."""
+    x = x_ref[0].astype(jnp.float32)  # (h*w, cin)
+
+    # --- GN1 + SiLU into the zero-padded conv buffer -----------------------
+    a1 = _gn_silu_block(
+        x, p1_ref[...], gn1s_ref[0], gn1b_ref[0], inv_n1, eps
+    )
+    hpad_ref[...] = jnp.zeros_like(hpad_ref)
+    hpad_ref[1 : h + 1, 1 : w + 1, :] = a1.reshape(h, w, cin).astype(hpad_ref.dtype)
+
+    # --- conv1 + bias + temb ----------------------------------------------
+    acc = _conv9(hpad_ref, w1_ref, h, w, cin, cout, mm_dtype)
+    acc += b1_ref[0] + temb_ref[0]
+
+    # --- GN2 + SiLU --------------------------------------------------------
+    a2 = _gn_silu_block(
+        acc, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps
+    )
+    hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+    hpad2_ref[1 : h + 1, 1 : w + 1, :] = a2.reshape(h, w, cout).astype(hpad2_ref.dtype)
+
+    # --- conv2 + bias ------------------------------------------------------
+    acc2 = _conv9(hpad2_ref, w2_ref, h, w, cout, cout, mm_dtype)
+    acc2 += b2_ref[0]
+
+    # --- skip + residual ---------------------------------------------------
+    if has_skip:
+        skip = jax.lax.dot_general(
+            x.astype(mm_dtype), wskip_ref[...].astype(mm_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bskip_ref[0]
+    else:
+        skip = x
+    out = skip + acc2
+    if rescale:
+        out = out * _INV_SQRT2
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_resblock(
+    x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
+    w_skip=None, b_skip=None, *, num_groups1: int, num_groups2: int,
+    eps: float = 1e-6, skip_rescale: bool = True, mm_dtype=jnp.bfloat16,
+):
+    """Run one full residual block (see module docstring).
+
+    x: (B, H, W, C); temb_proj: (B, Cout) — the Dense(temb) row, computed
+    outside (it is per-sample, tiny, and XLA fuses it with the time MLP);
+    w1: (3,3,C,Cout); w2: (3,3,Cout,Cout); w_skip: (C, Cout) for the
+    conv1x1/NIN shortcut when C != Cout (else identity skip).
+    """
+    b, h, w_, c = x.shape
+    cout = w1.shape[-1]
+    has_skip = w_skip is not None
+    if not has_skip:
+        assert c == cout, (c, cout)
+    inv_n1 = 1.0 / (h * w_ * (c // num_groups1))
+    inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
+    kernel = functools.partial(
+        _resblock_kernel,
+        h=h, w=w_, cin=c, cout=cout, inv_n1=inv_n1, inv_n2=inv_n2, eps=eps,
+        has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
+    )
+    row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    args = [
+        x.reshape(b, h * w_, c),
+        jnp.asarray(temb_proj, jnp.float32),
+        row(gn1_scale), row(gn1_bias), _group_indicator(c, num_groups1),
+        jnp.asarray(w1).reshape(9, c, cout), row(b1),
+        row(gn2_scale), row(gn2_bias), _group_indicator(cout, num_groups2),
+        jnp.asarray(w2).reshape(9, cout, cout), row(b2),
+        (jnp.asarray(w_skip) if has_skip else jnp.zeros((c, cout), x.dtype)),
+        (row(b_skip) if b_skip is not None else jnp.zeros((1, cout), jnp.float32)),
+    ]
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h * w_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const((1, c)), const((1, c)), const((c, c)),
+            const((9, c, cout)), const((1, cout)),
+            const((1, cout)), const((1, cout)), const((cout, cout)),
+            const((9, cout, cout)), const((1, cout)),
+            const((c, cout)), const((1, cout)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h * w_, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w_ + 2, c), mm_dtype),
+            pltpu.VMEM((h + 2, w_ + 2, cout), mm_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w_ * 9 * (c * cout + cout * cout),
+            bytes_accessed=b * h * w_ * (c + cout) * x.dtype.itemsize,
+            transcendentals=2 * b * h * w_ * (c + cout),
+        ),
+    )(*args)
+    return out.reshape(b, h, w_, cout)
+
+
+def resblock_reference(
+    x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
+    w_skip=None, b_skip=None, *, num_groups1: int, num_groups2: int,
+    eps: float = 1e-6, skip_rescale: bool = True,
+):
+    """Unfused XLA composition (correctness oracle + non-TPU fallback)."""
+    from gddim_tpu.ops.groupnorm import group_norm_silu_reference
+
+    h = group_norm_silu_reference(x, gn1_scale, gn1_bias, num_groups1, eps)
+    h = jax.lax.conv_general_dilated(
+        h, jnp.asarray(w1, h.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(b1, h.dtype) + jnp.asarray(temb_proj, h.dtype)[:, None, None, :]
+    h = group_norm_silu_reference(h, gn2_scale, gn2_bias, num_groups2, eps)
+    h = jax.lax.conv_general_dilated(
+        h, jnp.asarray(w2, h.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(b2, h.dtype)
+    if w_skip is None:
+        skip = x
+    else:
+        skip = jnp.einsum("bhwc,cd->bhwd", x, jnp.asarray(w_skip, x.dtype))
+        if b_skip is not None:
+            skip = skip + jnp.asarray(b_skip, x.dtype)
+    out = skip + h
+    if skip_rescale:
+        out = out * _INV_SQRT2
+    return out
+
+
+def supported(x_shape, cout: int) -> bool:
+    b, h, w, c = x_shape
+    vmem = (
+        (h + 2) * (w + 2) * (c + cout) * 2  # padded scratches (bf16)
+        + 2 * h * w * max(c, cout) * 4  # resident sample + working f32
+        + 9 * (c * cout + cout * cout) * 2  # weights
+        + c * c * 4 + cout * cout * 4  # indicator matrices
+    )
+    return (
+        jax.default_backend() == "tpu"
+        and c % 128 == 0
+        and cout % 128 == 0
+        and vmem < 12 * 2**20
+    )

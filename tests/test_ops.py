@@ -316,3 +316,93 @@ def test_resblock_int8_fusion_matches_unfused(rng):
         c3.supported = orig_supported
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.05, rel
+
+
+def test_fused_resblock_matches_reference(rng):
+    """The whole-residual-block kernel == the unfused composition, for both
+    identity and conv1x1-projected skips."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.resblock import fused_resblock, resblock_reference
+
+    B, H, C = 2, 8, 128
+    x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    kw = dict(num_groups1=32, num_groups2=32, skip_rescale=True)
+
+    ref = np.asarray(
+        resblock_reference(x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, **kw)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_resblock(
+                x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+                mm_dtype=jnp.float32, **kw,
+            )
+        )
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+    # projected skip (C -> 2C) with bias
+    C2 = 256
+    w1p = jnp.asarray(rng.normal(size=(3, 3, C, C2)).astype(np.float32) * 0.05)
+    w2p = jnp.asarray(rng.normal(size=(3, 3, C2, C2)).astype(np.float32) * 0.05)
+    ws = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    tembp = jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32))
+    b1p = jnp.zeros((C2,), jnp.float32)
+    b2p = jnp.zeros((C2,), jnp.float32)
+    g2sp = jnp.ones((C2,), jnp.float32)
+    g2bp = jnp.zeros((C2,), jnp.float32)
+    ref2 = np.asarray(
+        resblock_reference(
+            x, tembp, g1s, g1b, w1p, b1p, g2sp, g2bp, w2p, b2p, ws, bs, **kw
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got2 = np.asarray(
+            fused_resblock(
+                x, tembp, g1s, g1b, w1p, b1p, g2sp, g2bp, w2p, b2p, ws, bs,
+                mm_dtype=jnp.float32, **kw,
+            )
+        )
+    np.testing.assert_allclose(got2, ref2, rtol=5e-4, atol=5e-4)
+
+
+def test_biggan_block_fused_impl_matches_normal(rng):
+    """ResnetBlockBigGANpp under conv_impl='fused' (whole-block Pallas
+    kernel) matches the composable-module path on identical params, for both
+    identity and projected (Conv_2) skips."""
+    import flax.linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import ResnetBlockBigGANpp
+    from gddim_tpu.ops import resblock as rb
+
+    temb = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    for out_ch in (None, 256):
+        block = ResnetBlockBigGANpp(act=nn.swish, dropout=0.0, out_ch=out_ch)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+        params = block.init({"params": jax.random.PRNGKey(0)}, x, temb, train=False)
+        ref = np.asarray(block.apply(params, x, temb, train=False))
+        old_impl, old_sup, old_mm = layers.CONV3X3_IMPL, rb.supported, rb.MM_DTYPE
+        try:
+            layers.CONV3X3_IMPL = "fused"
+            rb.MM_DTYPE = jnp.float32
+            rb.supported = lambda shape, cout: (
+                shape[-1] % 128 == 0 and cout % 128 == 0
+            )
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(block.apply(params, x, temb, train=False))
+        finally:
+            layers.CONV3X3_IMPL, rb.supported, rb.MM_DTYPE = old_impl, old_sup, old_mm
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 2e-3, (out_ch, rel)
