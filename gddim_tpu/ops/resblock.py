@@ -88,7 +88,9 @@ def _resblock_kernel(
 
     # --- conv1 + bias + temb ----------------------------------------------
     acc = _conv9(hpad_ref, w1_ref, h, w, cin, cout, mm_dtype)
-    acc += b1_ref[0] + temb_ref[0]
+    # temb_ref holds the whole (B, Cout) array (TPU block-shape rules); take
+    # this grid step's row
+    acc += b1_ref[0] + temb_ref[pl.ds(pl.program_id(0), 1), :][0]
 
     # --- GN2 + SiLU --------------------------------------------------------
     a2 = _gn_silu_block(
@@ -159,7 +161,7 @@ def fused_resblock(
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h * w_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const((b, cout)),  # temb rows: whole array resident, sliced in-kernel
             const((1, c)), const((1, c)), const((c, c)),
             const((9, c, cout)), const((1, cout)),
             const((1, cout)), const((1, cout)), const((cout, cout)),
