@@ -1,9 +1,9 @@
 """Fused residual-block Pallas kernel (inference fast path).
 
 Cost analysis of the compiled NCSN++ eps function (PERF.md) shows the model
-is HBM-bound: ~12 GB of activation traffic per batch-64 eval vs 14 ms of
-matmul work — and per-op kernels cannot fix that, because every pallas_call
-is a fusion barrier that forces its operands through HBM.
+is HBM-heavy: ~12 GB of activation traffic per batch-64 eval — and per-op
+kernels cannot reduce it, because every pallas_call is a fusion barrier that
+forces its operands through HBM.
 
 This kernel executes an ENTIRE BigGAN/DDPM residual block
 (reference layerspp.py:146-227):
@@ -14,10 +14,11 @@ This kernel executes an ENTIRE BigGAN/DDPM residual block
     h = conv3x3(h, W2) + b2            (dropout is identity at eval)
     out = (x or conv1x1(x, Ws)) + h    [* 1/sqrt(2) with skip_rescale]
 
-per batch-tile entirely in VMEM: x is read from HBM once and the block
-output written once — 2 passes instead of the ~10 the unfused chain costs.
-Group statistics use the (C, C) same-group indicator matmul (one MXU pass,
-no lane reshapes); convs are the 9-shifted-matmul scheme of conv3x3.py.
+per batch-tile (bt samples) entirely in VMEM: x is read from HBM once and
+the block output written once — 2 passes instead of the ~10 the unfused
+chain costs. The batch tile keeps the 9-shift matmuls at M = bt*H*W rows so
+the MXU stays fed even at 8x8/16x16 feature maps. Group statistics use the
+(C, C) same-group indicator matmul (one MXU pass, no lane reshapes).
 
 Applies to stride-1 blocks without in-block resampling, C and C_out
 multiples of 128. Inference-only: the training path keeps the composable
@@ -43,26 +44,26 @@ _INV_SQRT2 = 0.7071067811865476
 MM_DTYPE = jnp.bfloat16
 
 
-def _gn_silu_block(x, pmat, scale, bias, inv_n, eps):
-    """x: (n, C) f32 resident -> silu(GroupNorm(x)) via indicator matmul."""
-    s = jnp.sum(x, axis=0, keepdims=True)
-    sq = jnp.sum(x * x, axis=0, keepdims=True)
+def _gn_silu_batch(x, pmat, scale, bias, inv_n, eps):
+    """x: (bt, n, C) f32 resident -> silu(GroupNorm(x)) per sample."""
+    s = jnp.sum(x, axis=1)  # (bt, C)
+    sq = jnp.sum(x * x, axis=1)
     mean = jax.lax.dot(s, pmat, preferred_element_type=jnp.float32) * inv_n
     esq = jax.lax.dot(sq, pmat, preferred_element_type=jnp.float32) * inv_n
     var = esq - mean * mean
-    norm = (x - mean) * jax.lax.rsqrt(var + eps)
+    norm = (x - mean[:, None, :]) * jax.lax.rsqrt(var + eps)[:, None, :]
     out = norm * scale + bias
     return out * jax.nn.sigmoid(out)
 
 
-def _conv9(h_pad_ref, w_ref, h, w, cin, cout, dtype):
-    """9 shifted matmuls over the VMEM-resident padded tile (1 sample)."""
-    acc = jnp.zeros((h * w, cout), jnp.float32)
+def _conv9(h_pad_ref, w_ref, bt, h, w, cin, cout, dtype):
+    """9 shifted matmuls over the VMEM-resident padded tiles (bt samples)."""
+    acc = jnp.zeros((bt * h * w, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            tile = h_pad_ref[dy : dy + h, dx : dx + w, :]
+            tile = h_pad_ref[:, dy : dy + h, dx : dx + w, :]
             acc += jax.lax.dot_general(
-                tile.reshape(h * w, cin).astype(dtype),
+                tile.reshape(bt * h * w, cin).astype(dtype),
                 w_ref[dy * 3 + dx].astype(dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -74,54 +75,81 @@ def _resblock_kernel(
     x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref,
     gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, wskip_ref, bskip_ref,
     o_ref, hpad_ref, hpad2_ref,
-    *, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
+    *, bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
 ):
-    """One sample per grid step; all weights + the tile resident in VMEM."""
-    x = x_ref[0].astype(jnp.float32)  # (h*w, cin)
+    """bt samples per grid step; all weights + the tiles resident in VMEM."""
+    x = x_ref[...].astype(jnp.float32)  # (bt, h*w, cin)
 
     # --- GN1 + SiLU into the zero-padded conv buffer -----------------------
-    a1 = _gn_silu_block(
-        x, p1_ref[...], gn1s_ref[0], gn1b_ref[0], inv_n1, eps
-    )
+    a1 = _gn_silu_batch(x, p1_ref[...], gn1s_ref[0], gn1b_ref[0], inv_n1, eps)
     hpad_ref[...] = jnp.zeros_like(hpad_ref)
-    hpad_ref[1 : h + 1, 1 : w + 1, :] = a1.reshape(h, w, cin).astype(hpad_ref.dtype)
+    hpad_ref[:, 1 : h + 1, 1 : w + 1, :] = a1.reshape(bt, h, w, cin).astype(
+        hpad_ref.dtype
+    )
 
     # --- conv1 + bias + temb ----------------------------------------------
-    acc = _conv9(hpad_ref, w1_ref, h, w, cin, cout, mm_dtype)
+    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
+    acc = acc.reshape(bt, h * w, cout)
     # temb_ref holds the whole (B, Cout) array (TPU block-shape rules); take
-    # this grid step's row
-    acc += b1_ref[0] + temb_ref[pl.ds(pl.program_id(0), 1), :][0]
+    # this grid step's rows
+    trow = temb_ref[pl.ds(pl.program_id(0) * bt, bt), :]
+    acc += b1_ref[0] + trow[:, None, :]
 
     # --- GN2 + SiLU --------------------------------------------------------
-    a2 = _gn_silu_block(
-        acc, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps
-    )
+    a2 = _gn_silu_batch(acc, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps)
     hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
-    hpad2_ref[1 : h + 1, 1 : w + 1, :] = a2.reshape(h, w, cout).astype(hpad2_ref.dtype)
+    hpad2_ref[:, 1 : h + 1, 1 : w + 1, :] = a2.reshape(bt, h, w, cout).astype(
+        hpad2_ref.dtype
+    )
 
     # --- conv2 + bias ------------------------------------------------------
-    acc2 = _conv9(hpad2_ref, w2_ref, h, w, cout, cout, mm_dtype)
-    acc2 += b2_ref[0]
+    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
+    acc2 = (acc2 + b2_ref[0]).reshape(bt, h * w, cout)
 
     # --- skip + residual ---------------------------------------------------
     if has_skip:
         skip = jax.lax.dot_general(
-            x.astype(mm_dtype), wskip_ref[...].astype(mm_dtype),
+            x.reshape(bt * h * w, cin).astype(mm_dtype),
+            wskip_ref[...].astype(mm_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bskip_ref[0]
+        ).reshape(bt, h * w, cout) + bskip_ref[0]
     else:
         skip = x
     out = skip + acc2
     if rescale:
         out = out * _INV_SQRT2
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _pick_bt(b, h, w, cin, cout) -> int:
+    """Largest batch tile fitting the VMEM budget (double-buffered x/out
+    blocks + two padded scratch buffers + resident weights + f32 working
+    values, with native-tiling padding)."""
+
+    def pad(n, m):
+        return -(-n // m) * m
+
+    budget = 11 * 2**20
+    weights = (9 * (cin * cout + cout * cout) + cin * cout) * 2 + (
+        cin * cin + cout * cout
+    ) * 4
+    for bt in (16, 8, 4, 2, 1):
+        if b % bt:
+            continue
+        x_blk = bt * pad(h * w, 8) * pad(cin, 128) * 2
+        o_blk = bt * pad(h * w, 8) * pad(cout, 128) * 2
+        scr = bt * (h + 2) * pad(w + 2, 16) * (pad(cin, 128) + pad(cout, 128)) * 2
+        work = 2 * bt * h * w * max(cin, cout) * 4  # f32 temporaries
+        if 2 * x_blk + 2 * o_blk + scr + weights + work <= budget:
+            return bt
+    return 1
 
 
 def fused_resblock(
     x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
     w_skip=None, b_skip=None, *, num_groups1: int, num_groups2: int,
-    eps: float = 1e-6, skip_rescale: bool = True, mm_dtype=jnp.bfloat16,
+    eps: float = 1e-6, skip_rescale: bool = True, mm_dtype=None,
 ):
     """Run one full residual block (see module docstring).
 
@@ -130,17 +158,19 @@ def fused_resblock(
     w1: (3,3,C,Cout); w2: (3,3,Cout,Cout); w_skip: (C, Cout) for the
     conv1x1/NIN shortcut when C != Cout (else identity skip).
     """
+    mm_dtype = mm_dtype or MM_DTYPE
     b, h, w_, c = x.shape
     cout = w1.shape[-1]
     has_skip = w_skip is not None
     if not has_skip:
         assert c == cout, (c, cout)
+    bt = _pick_bt(b, h, w_, c, cout)
     inv_n1 = 1.0 / (h * w_ * (c // num_groups1))
     inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
     kernel = functools.partial(
         _resblock_kernel,
-        h=h, w=w_, cin=c, cout=cout, inv_n1=inv_n1, inv_n2=inv_n2, eps=eps,
-        has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
+        bt=bt, h=h, w=w_, cin=c, cout=cout, inv_n1=inv_n1, inv_n2=inv_n2,
+        eps=eps, has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     args = [
@@ -158,9 +188,11 @@ def fused_resblock(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((1, h * w_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bt, h * w_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             const((b, cout)),  # temb rows: whole array resident, sliced in-kernel
             const((1, c)), const((1, c)), const((c, c)),
             const((9, c, cout)), const((1, cout)),
@@ -169,12 +201,12 @@ def fused_resblock(
             const((c, cout)), const((1, cout)),
         ],
         out_specs=pl.BlockSpec(
-            (1, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (bt, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, h * w_, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((h + 2, w_ + 2, c), mm_dtype),
-            pltpu.VMEM((h + 2, w_ + 2, cout), mm_dtype),
+            pltpu.VMEM((bt, h + 2, w_ + 2, c), mm_dtype),
+            pltpu.VMEM((bt, h + 2, w_ + 2, cout), mm_dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w_ * 9 * (c * cout + cout * cout),
@@ -217,15 +249,9 @@ def resblock_reference(
 
 def supported(x_shape, cout: int) -> bool:
     b, h, w, c = x_shape
-    vmem = (
-        (h + 2) * (w + 2) * (c + cout) * 2  # padded scratches (bf16)
-        + 2 * h * w * max(c, cout) * 4  # resident sample + working f32
-        + 9 * (c * cout + cout * cout) * 2  # weights
-        + c * c * 4 + cout * cout * 4  # indicator matrices
-    )
     return (
         jax.default_backend() == "tpu"
         and c % 128 == 0
         and cout % 128 == 0
-        and vmem < 12 * 2**20
+        and (h + 2) * (w + 2) * (c + cout) * 2 < 10 * 2**20
     )

@@ -255,6 +255,8 @@ def train(config, workdir: str):
                     save_image(x[:64], this_dir / "sample.png")
                 else:
                     save_pointset(x, this_dir / "sample.png")
+                if metrics:
+                    metrics.log_image("samples", this_dir / "sample.png", cur)
 
     mgr.save_meta(n_iters, jax.device_get(state))
     mgr.wait()

@@ -62,6 +62,15 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, name: str, path, step: int | None = None):
+        """Attach a saved sample grid to wandb (reference logs sample grids
+        as wandb images, run_lib.py:263,275); JSONL records the path."""
+        self.log({name: str(path)}, step)
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log({name: wandb.Image(str(path))}, step=step)
+
     def close(self):
         self._fh.close()
         if self._wandb is not None:
