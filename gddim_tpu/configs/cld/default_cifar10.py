@@ -90,7 +90,7 @@ def get_default_configs():
     model.x64 = False
     model.dtype = "float32"  # 'bfloat16' for the fast TPU path
     model.attention_impl = "auto"  # 'xla' | 'pallas' | 'auto'
-    model.conv_impl = "xla"  # 'xla' | 'pallas' | 'int8' (quantized inference)
+    model.conv_impl = "xla"  # 'xla' | 'pallas' | 'int8' | 'fused' | 'fused_int8'
 
     config.optim = optim = ml_collections.ConfigDict()
     optim.weight_decay = 0

@@ -180,7 +180,7 @@ class ResnetBlockBigGANpp(nn.Module):
         from gddim_tpu.ops import resblock as resblock_ops
 
         if (
-            layers.CONV3X3_IMPL == "fused"
+            layers.CONV3X3_IMPL in ("fused", "fused_int8")
             and not train
             and not self.up and not self.down
             and temb is not None
@@ -208,7 +208,10 @@ class ResnetBlockBigGANpp(nn.Module):
                 num_groups1=min(c // 4, 32),
                 num_groups2=min(out_ch // 4, 32),
                 skip_rescale=self.skip_rescale,
-                mm_dtype=resblock_ops.MM_DTYPE,
+                mm_dtype=(
+                    jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
+                    else resblock_ops.MM_DTYPE
+                ),
             )
 
         # int8 inference: fuse quantization into the norm+silu kernel when

@@ -58,7 +58,9 @@ def _gn_silu_batch(x, pmat, scale, bias, inv_n, eps):
 
 def _conv9(h_pad_ref, w_ref, bt, h, w, cin, cout, dtype):
     """9 shifted matmuls over the VMEM-resident padded tiles (bt samples)."""
-    acc = jnp.zeros((bt * h * w, cout), jnp.float32)
+    int8 = dtype == jnp.int8
+    acc_t = jnp.int32 if int8 else jnp.float32
+    acc = jnp.zeros((bt * h * w, cout), acc_t)
     for dy in range(3):
         for dx in range(3):
             tile = h_pad_ref[:, dy : dy + h, dx : dx + w, :]
@@ -66,22 +68,39 @@ def _conv9(h_pad_ref, w_ref, bt, h, w, cin, cout, dtype):
                 tile.reshape(bt * h * w, cin).astype(dtype),
                 w_ref[dy * 3 + dx].astype(dtype),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             )
     return acc
 
 
+def _quant_rows(a, bt):
+    """(bt, n, C) f32 -> (int8 values, (bt,) scales), per-sample symmetric."""
+    amax = jnp.max(jnp.abs(a), axis=(1, 2))
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(a / s[:, None, None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _resblock_kernel(
-    x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref,
-    gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, wskip_ref, bskip_ref,
+    x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref, w1sc_ref,
+    gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
+    wskip_ref, bskip_ref, wsksc_ref,
     o_ref, hpad_ref, hpad2_ref,
     *, bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
 ):
-    """bt samples per grid step; all weights + the tiles resident in VMEM."""
+    """bt samples per grid step; all weights + the tiles resident in VMEM.
+
+    mm_dtype == int8: activations are quantized per sample INSIDE the kernel
+    (no HBM cost), weights arrive int8 with per-channel scales in w*sc_ref,
+    and the int32 accumulators are dequantized in the epilogues.
+    """
+    int8 = mm_dtype == jnp.int8
     x = x_ref[...].astype(jnp.float32)  # (bt, h*w, cin)
 
     # --- GN1 + SiLU into the zero-padded conv buffer -----------------------
     a1 = _gn_silu_batch(x, p1_ref[...], gn1s_ref[0], gn1b_ref[0], inv_n1, eps)
+    if int8:
+        a1, s1 = _quant_rows(a1, bt)
     hpad_ref[...] = jnp.zeros_like(hpad_ref)
     hpad_ref[:, 1 : h + 1, 1 : w + 1, :] = a1.reshape(bt, h, w, cin).astype(
         hpad_ref.dtype
@@ -89,14 +108,25 @@ def _resblock_kernel(
 
     # --- conv1 + bias + temb ----------------------------------------------
     acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
-    acc = acc.reshape(bt, h * w, cout)
-    # temb_ref holds the whole (B, Cout) array (TPU block-shape rules); take
-    # this grid step's rows
-    trow = temb_ref[pl.ds(pl.program_id(0) * bt, bt), :]
+    acc = acc.astype(jnp.float32).reshape(bt, h * w, cout)
+    if int8:
+        acc = acc * (s1[:, None, None] * w1sc_ref[0])
+    # temb_ref holds the whole (B, Cout) array (TPU block-shape rules). A
+    # dynamic row slice needs 8-aligned starts Mosaic can't prove for bt<8,
+    # so select this grid step's bt rows with a one-hot matmul instead.
+    bsz = temb_ref.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bt, bsz), 1)
+    want = pl.program_id(0) * bt + jax.lax.broadcasted_iota(
+        jnp.int32, (bt, bsz), 0
+    )
+    sel = (col == want).astype(jnp.float32)
+    trow = jax.lax.dot(sel, temb_ref[...], preferred_element_type=jnp.float32)
     acc += b1_ref[0] + trow[:, None, :]
 
     # --- GN2 + SiLU --------------------------------------------------------
     a2 = _gn_silu_batch(acc, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps)
+    if int8:
+        a2, s2 = _quant_rows(a2, bt)
     hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
     hpad2_ref[:, 1 : h + 1, 1 : w + 1, :] = a2.reshape(bt, h, w, cout).astype(
         hpad2_ref.dtype
@@ -104,16 +134,29 @@ def _resblock_kernel(
 
     # --- conv2 + bias ------------------------------------------------------
     acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
-    acc2 = (acc2 + b2_ref[0]).reshape(bt, h * w, cout)
+    acc2 = acc2.astype(jnp.float32).reshape(bt, h * w, cout)
+    if int8:
+        acc2 = acc2 * (s2[:, None, None] * w2sc_ref[0])
+    acc2 = acc2 + b2_ref[0]
 
     # --- skip + residual ---------------------------------------------------
     if has_skip:
-        skip = jax.lax.dot_general(
-            x.reshape(bt * h * w, cin).astype(mm_dtype),
-            wskip_ref[...].astype(mm_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(bt, h * w, cout) + bskip_ref[0]
+        if int8:
+            xq, sx = _quant_rows(x, bt)
+            skip = jax.lax.dot_general(
+                xq.reshape(bt * h * w, cin),
+                wskip_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32).reshape(bt, h * w, cout)
+            skip = skip * (sx[:, None, None] * wsksc_ref[0]) + bskip_ref[0]
+        else:
+            skip = jax.lax.dot_general(
+                x.reshape(bt * h * w, cin).astype(mm_dtype),
+                wskip_ref[...].astype(mm_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(bt, h * w, cout) + bskip_ref[0]
     else:
         skip = x
     out = skip + acc2
@@ -159,12 +202,24 @@ def fused_resblock(
     conv1x1/NIN shortcut when C != Cout (else identity skip).
     """
     mm_dtype = mm_dtype or MM_DTYPE
+    int8 = mm_dtype == jnp.int8
     b, h, w_, c = x.shape
     cout = w1.shape[-1]
     has_skip = w_skip is not None
     if not has_skip:
         assert c == cout, (c, cout)
     bt = _pick_bt(b, h, w_, c, cout)
+
+    def prep_w(wm, shape):
+        """-> (kernel operand, (1,Cout) scale row) for the mm dtype."""
+        wm = jnp.asarray(wm, jnp.float32).reshape(shape)
+        if not int8:
+            return wm.astype(jnp.bfloat16 if mm_dtype == jnp.bfloat16 else wm.dtype), \
+                jnp.ones((1, shape[-1]), jnp.float32)
+        axes = tuple(range(wm.ndim - 1))
+        sc = jnp.maximum(jnp.abs(wm).max(axis=axes), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(wm / sc), -127, 127).astype(jnp.int8)
+        return q, sc.reshape(1, -1)
     inv_n1 = 1.0 / (h * w_ * (c // num_groups1))
     inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
     kernel = functools.partial(
@@ -173,15 +228,21 @@ def fused_resblock(
         eps=eps, has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    w1_op, w1_sc = prep_w(w1, (9, c, cout))
+    w2_op, w2_sc = prep_w(w2, (9, cout, cout))
+    wsk_op, wsk_sc = prep_w(
+        w_skip if has_skip else np.zeros((c, cout), np.float32), (c, cout)
+    )
     args = [
         x.reshape(b, h * w_, c),
         jnp.asarray(temb_proj, jnp.float32),
         row(gn1_scale), row(gn1_bias), _group_indicator(c, num_groups1),
-        jnp.asarray(w1).reshape(9, c, cout), row(b1),
+        w1_op, row(b1), w1_sc,
         row(gn2_scale), row(gn2_bias), _group_indicator(cout, num_groups2),
-        jnp.asarray(w2).reshape(9, cout, cout), row(b2),
-        (jnp.asarray(w_skip) if has_skip else jnp.zeros((c, cout), x.dtype)),
+        w2_op, row(b2), w2_sc,
+        wsk_op,
         (row(b_skip) if b_skip is not None else jnp.zeros((1, cout), jnp.float32)),
+        wsk_sc,
     ]
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -195,10 +256,10 @@ def fused_resblock(
             ),
             const((b, cout)),  # temb rows: whole array resident, sliced in-kernel
             const((1, c)), const((1, c)), const((c, c)),
-            const((9, c, cout)), const((1, cout)),
+            const((9, c, cout)), const((1, cout)), const((1, cout)),
             const((1, cout)), const((1, cout)), const((cout, cout)),
-            const((9, cout, cout)), const((1, cout)),
-            const((c, cout)), const((1, cout)),
+            const((9, cout, cout)), const((1, cout)), const((1, cout)),
+            const((c, cout)), const((1, cout)), const((1, cout)),
         ],
         out_specs=pl.BlockSpec(
             (bt, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -207,7 +268,7 @@ def fused_resblock(
         scratch_shapes=[
             pltpu.VMEM((bt, h + 2, w_ + 2, c), mm_dtype),
             pltpu.VMEM((bt, h + 2, w_ + 2, cout), mm_dtype),
-        ],
+        ],  # int8 scratches halve again vs bf16
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w_ * 9 * (c * cout + cout * cout),
             bytes_accessed=b * h * w_ * (c + cout) * x.dtype.itemsize,

@@ -406,3 +406,32 @@ def test_biggan_block_fused_impl_matches_normal(rng):
             layers.CONV3X3_IMPL, rb.supported, rb.MM_DTYPE = old_impl, old_sup, old_mm
         rel = np.abs(got - ref).max() / np.abs(ref).max()
         assert rel < 2e-3, (out_ch, rel)
+
+
+def test_fused_resblock_int8_mode(rng):
+    """mm_dtype=int8 in the fused block: in-kernel per-sample quantization,
+    output within the compounded quantization budget of the f32 oracle."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.resblock import fused_resblock, resblock_reference
+
+    B, H, C = 2, 8, 128
+    x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
+    ones = jnp.ones((C,), jnp.float32)
+    zeros = jnp.zeros((C,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05)
+    kw = dict(num_groups1=32, num_groups2=32, skip_rescale=True)
+    ref = np.asarray(
+        resblock_reference(x, temb, ones, zeros, w1, zeros, ones, zeros, w2, zeros, **kw)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_resblock(
+                x, temb, ones, zeros, w1, zeros, ones, zeros, w2, zeros,
+                mm_dtype=jnp.int8, **kw,
+            )
+        )
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
