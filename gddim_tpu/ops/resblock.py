@@ -111,16 +111,9 @@ def _resblock_kernel(
     acc = acc.astype(jnp.float32).reshape(bt, h * w, cout)
     if int8:
         acc = acc * (s1[:, None, None] * w1sc_ref[0])
-    # temb_ref holds the whole (B, Cout) array (TPU block-shape rules). A
-    # dynamic row slice needs 8-aligned starts Mosaic can't prove for bt<8,
-    # so select this grid step's bt rows with a one-hot matmul instead.
-    bsz = temb_ref.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (bt, bsz), 1)
-    want = pl.program_id(0) * bt + jax.lax.broadcasted_iota(
-        jnp.int32, (bt, bsz), 0
-    )
-    sel = (col == want).astype(jnp.float32)
-    trow = jax.lax.dot(sel, temb_ref[...], preferred_element_type=jnp.float32)
+    # temb arrives pre-broadcast as (B, 8, Cout) so its per-step block
+    # (bt, 8, Cout) satisfies the TPU (8, 128) tiling rules for any bt
+    trow = temb_ref[:, 0, :]  # (bt, cout)
     acc += b1_ref[0] + trow[:, None, :]
 
     # --- GN2 + SiLU --------------------------------------------------------
@@ -233,9 +226,12 @@ def fused_resblock(
     wsk_op, wsk_sc = prep_w(
         w_skip if has_skip else np.zeros((c, cout), np.float32), (c, cout)
     )
+    temb_b = jnp.broadcast_to(
+        jnp.asarray(temb_proj, jnp.float32)[:, None, :], (b, 8, cout)
+    )
     args = [
         x.reshape(b, h * w_, c),
-        jnp.asarray(temb_proj, jnp.float32),
+        temb_b,
         row(gn1_scale), row(gn1_bias), _group_indicator(c, num_groups1),
         w1_op, row(b1), w1_sc,
         row(gn2_scale), row(gn2_bias), _group_indicator(cout, num_groups2),
@@ -254,7 +250,9 @@ def fused_resblock(
             pl.BlockSpec(
                 (bt, h * w_, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            const((b, cout)),  # temb rows: whole array resident, sliced in-kernel
+            pl.BlockSpec(
+                (bt, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),  # temb rows, pre-broadcast to an (8, Cout)-tileable layout
             const((1, c)), const((1, c)), const((c, c)),
             const((9, c, cout)), const((1, cout)), const((1, cout)),
             const((1, cout)), const((1, cout)), const((cout, cout)),
