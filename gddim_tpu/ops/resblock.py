@@ -44,16 +44,24 @@ _INV_SQRT2 = 0.7071067811865476
 MM_DTYPE = jnp.bfloat16
 
 
-def _gn_silu_batch(x, pmat, scale, bias, inv_n, eps):
-    """x: (bt, n, C) f32 resident -> silu(GroupNorm(x)) per sample."""
-    s = jnp.sum(x, axis=1)  # (bt, C)
-    sq = jnp.sum(x * x, axis=1)
+def _gn_silu_2d(x, pmat, scale, bias, inv_n, eps):
+    """x: (n, C) f32 -> silu(GroupNorm(x)), one sample (all ops rank-2:
+    Mosaic's vector layouts are only robust for <=2-D shapes here)."""
+    s = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    sq = jnp.sum(x * x, axis=0, keepdims=True)
     mean = jax.lax.dot(s, pmat, preferred_element_type=jnp.float32) * inv_n
     esq = jax.lax.dot(sq, pmat, preferred_element_type=jnp.float32) * inv_n
     var = esq - mean * mean
-    norm = (x - mean[:, None, :]) * jax.lax.rsqrt(var + eps)[:, None, :]
+    norm = (x - mean) * jax.lax.rsqrt(var + eps)
     out = norm * scale + bias
     return out * jax.nn.sigmoid(out)
+
+
+def _quant_2d(a):
+    """(n, C) f32 -> (int8, scalar scale), symmetric."""
+    s = jnp.maximum(jnp.max(jnp.abs(a)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 def _conv9(h_pad_ref, w_ref, bt, h, w, cin, cout, dtype):
@@ -73,14 +81,6 @@ def _conv9(h_pad_ref, w_ref, bt, h, w, cin, cout, dtype):
     return acc
 
 
-def _quant_rows(a, bt):
-    """(bt, n, C) f32 -> (int8 values, (bt,) scales), per-sample symmetric."""
-    amax = jnp.max(jnp.abs(a), axis=(1, 2))
-    s = jnp.maximum(amax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(a / s[:, None, None]), -127, 127).astype(jnp.int8)
-    return q, s
-
-
 def _resblock_kernel(
     x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref, w1sc_ref,
     gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
@@ -90,72 +90,81 @@ def _resblock_kernel(
 ):
     """bt samples per grid step; all weights + the tiles resident in VMEM.
 
+    Matmuls run batched at M = bt*h*w; the per-sample pieces (GroupNorm
+    statistics, quantization scales, epilogues) run as rank-2 ops in an
+    unrolled python loop over the tile — Mosaic's vector layouts mis-lower
+    some rank-3 broadcast patterns, and bt <= 16 keeps the unroll small.
+
     mm_dtype == int8: activations are quantized per sample INSIDE the kernel
     (no HBM cost), weights arrive int8 with per-channel scales in w*sc_ref,
     and the int32 accumulators are dequantized in the epilogues.
     """
     int8 = mm_dtype == jnp.int8
-    x = x_ref[...].astype(jnp.float32)  # (bt, h*w, cin)
+    n = h * w
 
-    # --- GN1 + SiLU into the zero-padded conv buffer -----------------------
-    a1 = _gn_silu_batch(x, p1_ref[...], gn1s_ref[0], gn1b_ref[0], inv_n1, eps)
-    if int8:
-        a1, s1 = _quant_rows(a1, bt)
+    # --- GN1 + SiLU into the zero-padded conv buffer, per sample -----------
+    s1s = []
     hpad_ref[...] = jnp.zeros_like(hpad_ref)
-    hpad_ref[:, 1 : h + 1, 1 : w + 1, :] = a1.reshape(bt, h, w, cin).astype(
-        hpad_ref.dtype
-    )
-
-    # --- conv1 + bias + temb ----------------------------------------------
-    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
-    acc = acc.astype(jnp.float32).reshape(bt, h * w, cout)
-    if int8:
-        acc = acc * (s1[:, None, None] * w1sc_ref[0])
-    # temb arrives pre-broadcast as (B, 8, Cout) so its per-step block
-    # (bt, 8, Cout) satisfies the TPU (8, 128) tiling rules for any bt
-    trow = temb_ref[:, 0, :]  # (bt, cout)
-    acc += b1_ref[0] + trow[:, None, :]
-
-    # --- GN2 + SiLU --------------------------------------------------------
-    a2 = _gn_silu_batch(acc, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps)
-    if int8:
-        a2, s2 = _quant_rows(a2, bt)
-    hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
-    hpad2_ref[:, 1 : h + 1, 1 : w + 1, :] = a2.reshape(bt, h, w, cout).astype(
-        hpad2_ref.dtype
-    )
-
-    # --- conv2 + bias ------------------------------------------------------
-    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
-    acc2 = acc2.astype(jnp.float32).reshape(bt, h * w, cout)
-    if int8:
-        acc2 = acc2 * (s2[:, None, None] * w2sc_ref[0])
-    acc2 = acc2 + b2_ref[0]
-
-    # --- skip + residual ---------------------------------------------------
-    if has_skip:
+    for s in range(bt):
+        a1 = _gn_silu_2d(
+            x_ref[s].astype(jnp.float32), p1_ref[...], gn1s_ref[0],
+            gn1b_ref[0], inv_n1, eps,
+        )
         if int8:
-            xq, sx = _quant_rows(x, bt)
-            skip = jax.lax.dot_general(
-                xq.reshape(bt * h * w, cin),
-                wskip_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32).reshape(bt, h * w, cout)
-            skip = skip * (sx[:, None, None] * wsksc_ref[0]) + bskip_ref[0]
+            a1, sc = _quant_2d(a1)
+            s1s.append(sc)
+        hpad_ref[s, 1 : h + 1, 1 : w + 1, :] = a1.reshape(h, w, cin).astype(
+            hpad_ref.dtype
+        )
+
+    # --- conv1 (batched) + bias + temb, then GN2 + SiLU per sample ---------
+    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
+    s2s = []
+    hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+    for s in range(bt):
+        acc_s = acc[s * n : (s + 1) * n].astype(jnp.float32)
+        if int8:
+            acc_s = acc_s * (s1s[s] * w1sc_ref[0])
+        # temb arrives pre-broadcast as (B, 8, Cout): row 0 of this sample
+        acc_s = acc_s + b1_ref[0] + temb_ref[s, 0:1, :]
+        a2 = _gn_silu_2d(
+            acc_s, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps
+        )
+        if int8:
+            a2, sc2 = _quant_2d(a2)
+            s2s.append(sc2)
+        hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2.reshape(h, w, cout).astype(
+            hpad2_ref.dtype
+        )
+
+    # --- conv2 (batched) + per-sample epilogue: bias + skip + residual -----
+    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
+    for s in range(bt):
+        x_s = x_ref[s].astype(jnp.float32)  # (n, cin)
+        h_s = acc2[s * n : (s + 1) * n].astype(jnp.float32)
+        if int8:
+            h_s = h_s * (s2s[s] * w2sc_ref[0])
+        h_s = h_s + b2_ref[0]
+        if has_skip:
+            if int8:
+                xq, sx = _quant_2d(x_s)
+                skip = jax.lax.dot_general(
+                    xq, wskip_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (sx * wsksc_ref[0]) + bskip_ref[0]
+            else:
+                skip = jax.lax.dot_general(
+                    x_s.astype(mm_dtype), wskip_ref[...].astype(mm_dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bskip_ref[0]
         else:
-            skip = jax.lax.dot_general(
-                x.reshape(bt * h * w, cin).astype(mm_dtype),
-                wskip_ref[...].astype(mm_dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(bt, h * w, cout) + bskip_ref[0]
-    else:
-        skip = x
-    out = skip + acc2
-    if rescale:
-        out = out * _INV_SQRT2
-    o_ref[...] = out.astype(o_ref.dtype)
+            skip = x_s
+        out = skip + h_s
+        if rescale:
+            out = out * _INV_SQRT2
+        o_ref[s] = out.astype(o_ref.dtype)
 
 
 def _pick_bt(b, h, w, cin, cout) -> int:
