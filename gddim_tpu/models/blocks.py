@@ -33,6 +33,29 @@ class AttnBlockpp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # whole-block fusion (inference, conv_impl='fused'/'fused_int8'):
+        # GN + q/k/v NINs + attention + out NIN + skip in one VMEM pass —
+        # the (S, S) score matrix never touches HBM (ops/attnblock.py)
+        from gddim_tpu.ops import attnblock as attnblock_ops
+
+        if (
+            layers.CONV3X3_IMPL in ("fused", "fused_int8")
+            and not self.is_initializing()
+            and attnblock_ops.supported(x.shape)
+        ):
+            vs = self.variables["params"]
+            c = x.shape[-1]
+            return attnblock_ops.fused_attnblock(
+                x,
+                vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
+                vs["NIN_0"]["W"], vs["NIN_0"]["b"],
+                vs["NIN_1"]["W"], vs["NIN_1"]["b"],
+                vs["NIN_2"]["W"], vs["NIN_2"]["b"],
+                vs["NIN_3"]["W"], vs["NIN_3"]["b"],
+                num_groups=min(c // 4, 32),
+                skip_rescale=self.skip_rescale,
+            )
+
         h = group_norm(x)
         q = NIN(x.shape[-1], dtype=self.dtype)(h)
         k = NIN(x.shape[-1], dtype=self.dtype)(h)

@@ -102,9 +102,16 @@ def _resblock_kernel(
     int8 = mm_dtype == jnp.int8
     n = h * w
 
+    # the pad borders stay zero across grid steps (scratch persists and the
+    # interior writes never touch them): one memset on the first step instead
+    # of a full-buffer zero per step
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_borders():
+        hpad_ref[...] = jnp.zeros_like(hpad_ref)
+        hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+
     # --- GN1 + SiLU into the zero-padded conv buffer, per sample -----------
     s1s = []
-    hpad_ref[...] = jnp.zeros_like(hpad_ref)
     for s in range(bt):
         a1 = _gn_silu_2d(
             x_ref[s].astype(jnp.float32), p1_ref[...], gn1s_ref[0],
@@ -120,7 +127,6 @@ def _resblock_kernel(
     # --- conv1 (batched) + bias + temb, then GN2 + SiLU per sample ---------
     acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
     s2s = []
-    hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
     for s in range(bt):
         acc_s = acc[s * n : (s + 1) * n].astype(jnp.float32)
         if int8:

@@ -435,3 +435,52 @@ def test_fused_resblock_int8_mode(rng):
         )
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.05, rel
+
+
+def test_fused_attnblock_matches_reference(rng):
+    """Whole attention block in one kernel == the unfused composition."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.attnblock import attnblock_reference, fused_attnblock
+
+    B, H, C = 2, 16, 128  # S = 256 tokens
+    x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    gs = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    gb = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    mats = [
+        jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.1)
+        for _ in range(4)
+    ]
+    rows = [jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32)) for _ in range(4)]
+    args = [x, gs, gb]
+    for m, r in zip(mats, rows):
+        args += [m, r]
+    kw = dict(num_groups=32, skip_rescale=True)
+    ref = np.asarray(attnblock_reference(*args, **kw))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_attnblock(*args, mm_dtype=jnp.float32, **kw))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_attnblock_module_fused_impl_matches_normal(rng):
+    """AttnBlockpp under conv_impl='fused' matches the composable path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import AttnBlockpp
+    from gddim_tpu.ops import attnblock as ab
+
+    block = AttnBlockpp(skip_rescale=True)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)).astype(np.float32))
+    params = block.init({"params": jax.random.PRNGKey(0)}, x)
+    ref = np.asarray(block.apply(params, x))
+    old_impl, old_sup = layers.CONV3X3_IMPL, ab.supported
+    try:
+        layers.CONV3X3_IMPL = "fused"
+        ab.supported = lambda shape: shape[-1] % 128 == 0
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(block.apply(params, x))
+    finally:
+        layers.CONV3X3_IMPL, ab.supported = old_impl, old_sup
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 5e-3, rel
