@@ -115,7 +115,7 @@ def main():
     parser.add_argument("--batch", type=int, default=0, help="0 = sweep")
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument(
-        "--conv", default="fused", choices=["fused", "fused_int8", "int8", "pallas", "xla"],
+        "--conv", default="fused_int8", choices=["fused", "fused_int8", "int8", "pallas", "xla"],
         help="conv implementation for the optimized path",
     )
     args = parser.parse_args()
