@@ -5,6 +5,11 @@ per-pixel correlation and moment deltas between the two paths. With trained
 weights this should be repeated before shipping int8-scored FIDs.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 
