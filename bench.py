@@ -122,7 +122,7 @@ def main():
 
     backend = jax.default_backend()
     smoke = backend == "cpu"
-    batches = [args.batch] if args.batch else ([8] if smoke else [64, 128, 256])
+    batches = [args.batch] if args.batch else ([8] if smoke else [64, 128])
 
     results = {}
     modes = ["ref", "opt"] if args.mode == "both" else [args.mode]
