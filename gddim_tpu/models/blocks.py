@@ -151,6 +151,45 @@ class ResnetBlockDDPMpp(nn.Module):
     def __call__(self, x, temb=None, train=True):
         _, _, _, c = x.shape
         out_ch = self.out_ch or c
+        # whole-block fusion: same kernel as the BigGAN block (the DDPM block
+        # differs only in its skip projection, NIN instead of conv1x1)
+        from gddim_tpu.ops import resblock as resblock_ops
+
+        if (
+            layers.CONV3X3_IMPL in ("fused", "fused_int8")
+            and not train
+            and temb is not None
+            and self.act is nn.swish
+            and not (c != out_ch and self.conv_shortcut)
+            and not self.is_initializing()
+            and resblock_ops.supported(x.shape, out_ch)
+        ):
+            vs = self.variables["params"]
+            temb_proj = (
+                self.act(temb).astype(jnp.float32)
+                @ vs["Dense_0"]["kernel"].astype(jnp.float32)
+                + vs["Dense_0"]["bias"].astype(jnp.float32)
+            )
+            w_skip = b_skip = None
+            if c != out_ch:
+                w_skip = vs["NIN_0"]["W"]
+                b_skip = vs["NIN_0"]["b"]
+            return resblock_ops.fused_resblock(
+                x, temb_proj,
+                vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
+                vs["Conv_0"]["kernel"], vs["Conv_0"]["bias"],
+                vs["GroupNorm_1"]["scale"], vs["GroupNorm_1"]["bias"],
+                vs["Conv_1"]["kernel"], vs["Conv_1"]["bias"],
+                w_skip, b_skip,
+                num_groups1=min(c // 4, 32),
+                num_groups2=min(out_ch // 4, 32),
+                skip_rescale=self.skip_rescale,
+                mm_dtype=(
+                    jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
+                    else resblock_ops.MM_DTYPE
+                ),
+            )
+
         # int8 inference: the norm+silu kernel emits the quantized tensor the
         # conv consumes directly (no standalone HBM quantize pass)
         fuse1 = layers.int8_conv_fusion_ok(x.shape, out_ch)

@@ -484,3 +484,33 @@ def test_attnblock_module_fused_impl_matches_normal(rng):
         layers.CONV3X3_IMPL, ab.supported = old_impl, old_sup
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 5e-3, rel
+
+
+def test_ddpm_block_fused_impl_matches_normal(rng):
+    """ResnetBlockDDPMpp under conv_impl='fused' (NIN skip variant)."""
+    import flax.linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import ResnetBlockDDPMpp
+    from gddim_tpu.ops import resblock as rb
+
+    temb = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    for out_ch in (None, 256):
+        block = ResnetBlockDDPMpp(act=nn.swish, dropout=0.0, out_ch=out_ch)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+        params = block.init({"params": jax.random.PRNGKey(0)}, x, temb, train=False)
+        ref = np.asarray(block.apply(params, x, temb, train=False))
+        old_impl, old_sup, old_mm = layers.CONV3X3_IMPL, rb.supported, rb.MM_DTYPE
+        try:
+            layers.CONV3X3_IMPL = "fused"
+            rb.MM_DTYPE = jnp.float32
+            rb.supported = lambda shape, cout: (
+                shape[-1] % 128 == 0 and cout % 128 == 0
+            )
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(block.apply(params, x, temb, train=False))
+        finally:
+            layers.CONV3X3_IMPL, rb.supported, rb.MM_DTYPE = old_impl, old_sup, old_mm
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 2e-3, (out_ch, rel)
