@@ -122,6 +122,17 @@ def preprocess_corpus(name: str, images: np.ndarray, size: int) -> np.ndarray:
             imgs = _pil_resize(imgs, size, size, "bilinear")
         return np.clip(imgs, 0.0, 1.0)
     if name == "celeba":
+        h_in, w_in = images.shape[1], images.shape[2]
+        if h_in == size and w_in == size:
+            # corpus already preprocessed to the target resolution
+            return images.astype(np.float32) / (
+                255.0 if images.dtype == np.uint8 else 1.0
+            )
+        if h_in < 140 or w_in < 140:
+            raise ValueError(
+                f"celeba corpus images are {h_in}x{w_in}; the reference "
+                "pipeline center-crops 140x140 (datasets.py:131-136)"
+            )
         # central_crop(140) THEN antialiased resize (reference :131-136)
         imgs = _central_crop(images, 140).astype(np.float32)
         imgs = imgs / (255.0 if images.dtype == np.uint8 else 1.0)
@@ -422,8 +433,11 @@ class _Prefetcher:
         return self
 
     def __next__(self):
+        if getattr(self, "_done", False):
+            raise StopIteration
         item = self._q.get()
         if item is _STOP:
+            self._done = True
             raise StopIteration
         return item
 
@@ -554,13 +568,13 @@ def get_dataset(config, additional_dim=None, uniform_dequantization=False,
 
     if config.data.get("synthetic", False) or not config.data.get("data_dir", ""):
         n = 2048 if not getattr(config.data, "is_partial", False) else 512
-        flat = per_host * (additional_dim or 1)
+        flat = per_host * (additional_dim or 1) * n_procs
         n = max(n, flat)
         train_images = _synthetic_images(config, n, seed=config.seed)
         # disjoint eval stream: different Fourier draw (seed offset)
         eval_images = _synthetic_images(
             config, max(n // 2, flat), seed=config.seed + 7919
-        )
+        )  # flat is already n_procs-aware
     else:
         size = config.data.image_size
         train_images = _find_corpus(config, train=True)
@@ -568,15 +582,18 @@ def get_dataset(config, additional_dim=None, uniform_dequantization=False,
             raise FileNotFoundError(
                 f"no data for {name} under {config.data.data_dir}"
             )
-        eval_images = _find_corpus(config, train=False)
         if name in ("ffhq", "celebahq"):
-            # reference uses the same records for both splits (:158)
+            # reference uses the same records for both splits (:158) — and
+            # looking up a separate eval corpus would re-decode the whole
+            # TFRecord file just to throw it away
             eval_images = train_images
-        elif eval_images is None:
+        elif (eval_images := _find_corpus(config, train=False)) is None:
             # no held-out corpus available: carve the trailing 10% (<=10k) out
             # of train so eval stays disjoint (stricter than the round-1
             # behavior of evaluating on a train prefix)
-            flat = per_host * (additional_dim or 1)
+            # sizes must survive the per-process sharding below: each host
+            # keeps ~1/n_procs of the corpus and needs a full batch
+            flat = per_host * (additional_dim or 1) * n_procs
             n_eval = min(max(len(train_images) // 10, 1), 10_000)
             if len(train_images) - n_eval >= flat and n_eval >= flat:
                 logger.warning(

@@ -75,6 +75,10 @@ def kernel_distance(pools1: np.ndarray, pools2: np.ndarray,
     n_x, dim = x.shape
     n_y = y.shape[0]
     n_blocks = int(np.ceil(max(n_x, n_y) / max_block_size))
+    # the unbiased within-set terms need >=2 elements per block; cap the
+    # block count so the SMALLER set still yields valid blocks (tfgan
+    # instead raises on very uneven sizes — a graceful degradation here)
+    n_blocks = max(1, min(n_blocks, min(n_x, n_y) // 2))
     rng = np.random.default_rng(seed)
     x = x[rng.permutation(n_x)]
     y = y[rng.permutation(n_y)]

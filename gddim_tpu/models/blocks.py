@@ -32,14 +32,16 @@ class AttnBlockpp(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         # whole-block fusion (inference, conv_impl='fused'/'fused_int8'):
         # GN + q/k/v NINs + attention + out NIN + skip in one VMEM pass —
-        # the (S, S) score matrix never touches HBM (ops/attnblock.py)
+        # the (S, S) score matrix never touches HBM (ops/attnblock.py).
+        # Inference-only: the kernel has no VJP (train=True falls through).
         from gddim_tpu.ops import attnblock as attnblock_ops
 
         if (
             layers.CONV3X3_IMPL in ("fused", "fused_int8")
+            and not train
             and not self.is_initializing()
             and attnblock_ops.supported(x.shape)
         ):
@@ -192,9 +194,9 @@ class ResnetBlockDDPMpp(nn.Module):
 
         # int8 inference: the norm+silu kernel emits the quantized tensor the
         # conv consumes directly (no standalone HBM quantize pass)
-        fuse1 = layers.int8_conv_fusion_ok(x.shape, out_ch)
+        fuse1 = (not train) and layers.int8_conv_fusion_ok(x.shape, out_ch)
         h = norm_act(x, self.act, quantize_out=fuse1)
-        h = conv3x3(h, out_ch, dtype=self.dtype)
+        h = conv3x3(h, out_ch, dtype=self.dtype, allow_quantized=not train)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
                 self.act(temb)
@@ -203,7 +205,7 @@ class ResnetBlockDDPMpp(nn.Module):
         h = norm_act(h, self.act, quantize_out=fuse2)
         if not fuse2:  # eval-time dropout is the identity; skip under fusion
             h = nn.Dropout(self.dropout)(h, deterministic=not train)
-        h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype)
+        h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype, allow_quantized=not train)
         if c != out_ch:
             if self.conv_shortcut:
                 x = conv3x3(x, out_ch, dtype=self.dtype)
@@ -279,7 +281,7 @@ class ResnetBlockBigGANpp(nn.Module):
         # int8 inference: fuse quantization into the norm+silu kernel when
         # the output feeds conv3x3 directly (no resampling in between)
         fuse1 = (
-            not self.up and not self.down
+            (not train) and not self.up and not self.down
             and layers.int8_conv_fusion_ok(x.shape, out_ch)
         )
         h = norm_act(x, self.act, quantize_out=fuse1)
@@ -299,7 +301,7 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = resample.naive_downsample_2d(h, factor=2)
                 x = resample.naive_downsample_2d(x, factor=2)
 
-        h = conv3x3(h, out_ch, dtype=self.dtype)
+        h = conv3x3(h, out_ch, dtype=self.dtype, allow_quantized=not train)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
                 self.act(temb)
@@ -308,7 +310,7 @@ class ResnetBlockBigGANpp(nn.Module):
         h = norm_act(h, self.act, quantize_out=fuse2)
         if not fuse2:  # eval-time dropout is the identity; skip under fusion
             h = nn.Dropout(self.dropout)(h, deterministic=not train)
-        h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype)
+        h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype, allow_quantized=not train)
         if c != out_ch or self.up or self.down:
             x = conv1x1(x, out_ch, dtype=self.dtype)
         if not self.skip_rescale:

@@ -62,6 +62,10 @@ class Conv(nn.Module):
     kernel_dilation: tuple = (1, 1)
     kernel_init: Any = None
     dtype: Any = None
+    # gate for the int8 inference path: int8 rounding has zero gradient, so
+    # callers must assert they are NOT differentiating through this conv
+    # (the model blocks pass allow_quantized=not train)
+    allow_quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -78,6 +82,8 @@ class Conv(nn.Module):
             kernel = kernel.astype(self.dtype)
         impl = CONV3X3_IMPL
         qualifies = False
+        if impl == "int8" and not self.allow_quantized:
+            impl = "xla"  # training-safe fallback
         if impl in ("pallas", "int8") and (kh, kw) == (3, 3):
             from gddim_tpu.ops import conv3x3 as c3
 
@@ -131,7 +137,8 @@ class Conv(nn.Module):
         return y
 
 
-def conv3x3(x, out_planes, stride=1, bias=True, dilation=1, init_scale=1.0, dtype=None):
+def conv3x3(x, out_planes, stride=1, bias=True, dilation=1, init_scale=1.0,
+            dtype=None, allow_quantized=False):
     """3x3 conv with DDPM init (reference ddpm_conv3x3, layers.py:138-151)."""
     return Conv(
         out_planes,
@@ -141,6 +148,7 @@ def conv3x3(x, out_planes, stride=1, bias=True, dilation=1, init_scale=1.0, dtyp
         kernel_dilation=(dilation, dilation),
         kernel_init=default_init(init_scale),
         dtype=dtype,
+        allow_quantized=allow_quantized,
     )(x)
 
 

@@ -202,7 +202,7 @@ class NCSNpp(nn.Module):
             for _ in range(num_res_blocks):
                 h = ResnetBlock(out_ch=nf * ch_mult[i_level])(hs[-1], temb, train)
                 if h.shape[1] in attn_resolutions:
-                    h = AttnBlock()(h)
+                    h = AttnBlock()(h, train=train)
                 hs.append(h)
             if i_level != num_resolutions - 1:
                 if resblock_type == "ddpm":
@@ -226,7 +226,7 @@ class NCSNpp(nn.Module):
         # --- middle -----------------------------------------------------------
         h = hs[-1]
         h = ResnetBlock()(h, temb, train)
-        h = AttnBlock()(h)
+        h = AttnBlock()(h, train=train)
         h = ResnetBlock()(h, temb, train)
 
         pyramid = None
@@ -238,7 +238,7 @@ class NCSNpp(nn.Module):
                     jnp.concatenate([h, hs.pop()], axis=-1), temb, train
                 )
             if h.shape[1] in attn_resolutions:
-                h = AttnBlock()(h)
+                h = AttnBlock()(h, train=train)
 
             if progressive != "none":
                 if i_level == num_resolutions - 1:

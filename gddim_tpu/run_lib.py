@@ -392,7 +392,9 @@ def check_fid(config, result_folder: str):
     samples, nfe = _load_samples(result_folder)
     samples = samples[: int(config.eval.num_samples)]
     extractor = get_feature_extractor(config)
-    mesh = make_mesh()
+    # local mesh: check_fid may run on the coordinator only (evaluate()'s
+    # multi-host path), so a global mesh would dead-lock/shard-error here
+    mesh = make_mesh(devices=jax.local_devices())
     pools, logits = run_features_sharded(extractor, samples, mesh=mesh)
 
     ref_pools = None
@@ -463,7 +465,7 @@ def fid_stats(config, out_path: str | None = None):
     from gddim_tpu.evals.fid import save_dataset_stats
 
     extractor = get_feature_extractor(config)
-    mesh = make_mesh()
+    mesh = make_mesh(devices=jax.local_devices())
     mu, sigma, pools = _dataset_stats(config, extractor, mesh, return_pools=True)
     out = Path(
         out_path

@@ -226,3 +226,25 @@ def test_npz_corpus_loader(tmp_path):
     train, _ = get_dataset(cfg, additional_dim=None)
     b = next(train)["image"]
     assert b.shape == (8, 16, 16, 3)
+
+
+def test_prefetcher_stays_exhausted():
+    """A finished finite iterator keeps raising StopIteration instead of
+    blocking on the empty queue (review finding)."""
+    images = np.arange(20, dtype=np.uint8).reshape(20, 1, 1, 1)
+    ds = ArrayDataset(images, (10,), prefetch=True, num_epochs=1)
+    assert len(list(ds)) == 2
+    for _ in range(3):
+        try:
+            next(ds)
+            assert False, "expected StopIteration"
+        except StopIteration:
+            pass
+
+
+def test_celeba_presized_and_undersized_corpora():
+    imgs64 = (np.random.default_rng(0).random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    out = preprocess_corpus("celeba", imgs64, 64)
+    assert out.shape == (4, 64, 64, 3)  # pre-sized corpus passes through
+    with pytest.raises(ValueError):
+        preprocess_corpus("celeba", imgs64, 32)  # smaller than the 140 crop

@@ -227,3 +227,16 @@ def test_avgpool_exclusive_vs_inclusive():
     assert incl[0, 0, 0, 0] == pytest.approx(4 / 9)  # zeros counted
     assert excl[0, 0, 0, 0] == pytest.approx(1.0)  # padding excluded
     assert excl[0, 1, 1, 0] == pytest.approx(1.0)
+
+
+def test_kernel_distance_uneven_sets_stay_finite(rng):
+    """KID with a small sample set vs a large reference pool must not produce
+    NaN blocks (review finding: 0/1-element blocks in the smaller set)."""
+    from gddim_tpu.evals import kernel_distance
+
+    small = rng.normal(size=(64, 8))
+    big = rng.normal(size=(3000, 8))
+    kid = kernel_distance(small, big, max_block_size=64)
+    assert np.isfinite(kid)
+    kid2 = kernel_distance(rng.normal(size=(3, 8)), big, max_block_size=16)
+    assert np.isfinite(kid2)

@@ -234,7 +234,7 @@ def test_conv_module_int8_impl(rng):
     from gddim_tpu.models import layers
 
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
-    conv = layers.Conv(128, kernel_size=(3, 3))
+    conv = layers.Conv(128, kernel_size=(3, 3), allow_quantized=True)
     params = conv.init(jax.random.PRNGKey(0), x)
     ref = np.asarray(conv.apply(params, x))
     old = layers.CONV3X3_IMPL
@@ -514,3 +514,23 @@ def test_ddpm_block_fused_impl_matches_normal(rng):
             layers.CONV3X3_IMPL, rb.supported, rb.MM_DTYPE = old_impl, old_sup, old_mm
         rel = np.abs(got - ref).max() / np.abs(ref).max()
         assert rel < 2e-3, (out_ch, rel)
+
+
+def test_conv_int8_training_safe_fallback(rng):
+    """Without allow_quantized, conv_impl='int8' falls back to the XLA conv:
+    gradients flow (int8 rounding would silently zero them)."""
+    from gddim_tpu.models import layers
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    conv = layers.Conv(128, kernel_size=(3, 3))  # allow_quantized=False
+    params = conv.init(jax.random.PRNGKey(0), x)
+    old = layers.CONV3X3_IMPL
+    try:
+        layers.CONV3X3_IMPL = "int8"
+        g = jax.grad(lambda p, xx: jnp.sum(conv.apply(p, xx) ** 2))(params, x)
+    finally:
+        layers.CONV3X3_IMPL = old
+    gn = float(
+        sum(jnp.sum(jnp.abs(leaf)) for leaf in jax.tree.leaves(g))
+    )
+    assert gn > 0.0
