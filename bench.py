@@ -141,7 +141,7 @@ def main():
     _enable_compile_cache()
     backend = jax.default_backend()
     smoke = backend == "cpu"
-    batches = [args.batch] if args.batch else ([8] if smoke else [64])
+    batches = [args.batch] if args.batch else ([8] if smoke else [128])
 
     results = {}
     modes = ["ref", "opt"] if args.mode == "both" else [args.mode]
