@@ -125,9 +125,10 @@ def preprocess_corpus(name: str, images: np.ndarray, size: int) -> np.ndarray:
         h_in, w_in = images.shape[1], images.shape[2]
         if h_in == size and w_in == size:
             # corpus already preprocessed to the target resolution
-            return images.astype(np.float32) / (
+            imgs = images.astype(np.float32) / (
                 255.0 if images.dtype == np.uint8 else 1.0
             )
+            return np.clip(imgs, 0.0, 1.0)
         if h_in < 140 or w_in < 140:
             raise ValueError(
                 f"celeba corpus images are {h_in}x{w_in}; the reference "
@@ -608,8 +609,11 @@ def get_dataset(config, additional_dim=None, uniform_dequantization=False,
                     "train images"
                 )
                 eval_images = train_images
+        shared = eval_images is train_images  # ffhq/celebahq reuse the corpus
         train_images = preprocess_corpus(name, train_images, size)
-        eval_images = preprocess_corpus(name, eval_images, size)
+        eval_images = (
+            train_images if shared else preprocess_corpus(name, eval_images, size)
+        )
         if getattr(config.data, "is_partial", False):
             train_images = train_images[: max(len(train_images) // 1000, 1)]  # reference :110-116
 

@@ -74,6 +74,11 @@ def kernel_distance(pools1: np.ndarray, pools2: np.ndarray,
     y = np.asarray(pools2, dtype=np.float64)
     n_x, dim = x.shape
     n_y = y.shape[0]
+    if min(n_x, n_y) < 2:
+        raise ValueError(
+            f"KID needs >=2 samples per set (got {n_x} vs {n_y}); the "
+            "unbiased within-set term is undefined otherwise"
+        )
     n_blocks = int(np.ceil(max(n_x, n_y) / max_block_size))
     # the unbiased within-set terms need >=2 elements per block; cap the
     # block count so the SMALLER set still yields valid blocks (tfgan

@@ -79,13 +79,13 @@ class Upsample(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         b, h, w, c = x.shape
         out_ch = self.out_ch or c
         if not self.fir:
             y = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
             if self.with_conv:
-                y = conv3x3(y, out_ch, dtype=self.dtype)
+                y = conv3x3(y, out_ch, dtype=self.dtype, allow_quantized=not train)
         else:
             if not self.with_conv:
                 y = resample.upsample_2d(x, self.fir_kernel, factor=2)
@@ -113,7 +113,7 @@ class Downsample(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         b, h, w, c = x.shape
         out_ch = self.out_ch or c
         if not self.fir:
@@ -208,7 +208,7 @@ class ResnetBlockDDPMpp(nn.Module):
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype, allow_quantized=not train)
         if c != out_ch:
             if self.conv_shortcut:
-                x = conv3x3(x, out_ch, dtype=self.dtype)
+                x = conv3x3(x, out_ch, dtype=self.dtype, allow_quantized=not train)
             else:
                 x = NIN(out_ch, dtype=self.dtype)(x)
         if not self.skip_rescale:

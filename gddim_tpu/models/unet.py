@@ -206,15 +206,15 @@ class NCSNpp(nn.Module):
                 hs.append(h)
             if i_level != num_resolutions - 1:
                 if resblock_type == "ddpm":
-                    h = Down()(hs[-1])
+                    h = Down()(hs[-1], train=train)
                 else:
                     h = ResnetBlock(down=True)(hs[-1], temb, train)
                 if progressive_input == "input_skip":
-                    input_pyramid = pyramid_downsample()(input_pyramid)
+                    input_pyramid = pyramid_downsample()(input_pyramid, train=train)
                     h = combiner()(input_pyramid, h)
                 elif progressive_input == "residual":
                     input_pyramid = pyramid_downsample(out_ch=h.shape[-1])(
-                        input_pyramid
+                        input_pyramid, train=train
                     )
                     if skip_rescale:
                         input_pyramid = (input_pyramid + h) * _INV_SQRT2
@@ -256,7 +256,7 @@ class NCSNpp(nn.Module):
                         )
                 else:
                     if progressive == "output_skip":
-                        pyramid = pyramid_upsample()(pyramid)
+                        pyramid = pyramid_upsample()(pyramid, train=train)
                         pyramid = pyramid + conv3x3(
                             norm_act(h, act),
                             x.shape[-1],
@@ -265,7 +265,7 @@ class NCSNpp(nn.Module):
                             dtype=dtype,
                         )
                     else:  # residual
-                        pyramid = pyramid_upsample(out_ch=h.shape[-1])(pyramid)
+                        pyramid = pyramid_upsample(out_ch=h.shape[-1])(pyramid, train=train)
                         if skip_rescale:
                             pyramid = (pyramid + h) * _INV_SQRT2
                         else:
@@ -274,7 +274,7 @@ class NCSNpp(nn.Module):
 
             if i_level != 0:
                 if resblock_type == "ddpm":
-                    h = Up()(h)
+                    h = Up()(h, train=train)
                 else:
                     h = ResnetBlock(up=True)(h, temb, train)
 

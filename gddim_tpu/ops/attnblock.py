@@ -81,10 +81,10 @@ def fused_attnblock(
     b, h, w_, c = x.shape
     n = h * w_
     bt = 1
+    itemsize = jnp.dtype(x.dtype).itemsize
     for cand in (8, 4, 2, 1):
         need = (
-            2 * 2 * cand * n * c * 2  # in/out blocks, double-buffered, bf16ish
-            + cand * 0  # per-sample temporaries counted below
+            2 * 2 * cand * n * c * itemsize  # in/out blocks, double-buffered
             + 4 * c * c * 4 + c * c * 4  # weights + indicator
             + (3 * n * c + n * n + n * c) * 4  # q/k/v + scores + out (f32)
         )

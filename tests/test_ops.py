@@ -473,13 +473,13 @@ def test_attnblock_module_fused_impl_matches_normal(rng):
     block = AttnBlockpp(skip_rescale=True)
     x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)).astype(np.float32))
     params = block.init({"params": jax.random.PRNGKey(0)}, x)
-    ref = np.asarray(block.apply(params, x))
+    ref = np.asarray(block.apply(params, x, train=False))
     old_impl, old_sup = layers.CONV3X3_IMPL, ab.supported
     try:
         layers.CONV3X3_IMPL = "fused"
         ab.supported = lambda shape: shape[-1] % 128 == 0
         with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(block.apply(params, x))
+            got = np.asarray(block.apply(params, x, train=False))
     finally:
         layers.CONV3X3_IMPL, ab.supported = old_impl, old_sup
     rel = np.abs(got - ref).max() / np.abs(ref).max()
