@@ -240,3 +240,100 @@ def test_kernel_distance_uneven_sets_stay_finite(rng):
     assert np.isfinite(kid)
     kid2 = kernel_distance(rng.normal(size=(3, 8)), big, max_block_size=16)
     assert np.isfinite(kid2)
+
+
+def test_tf1_resize_2d_golden():
+    """Hand-derived 2-D fixture for the TF1 asymmetric bilinear resize.
+
+    in=2, out=4: source coords i*(2/4) = [0, .5, 1, 1.5]; index pairs
+    (0,1),(0,1),(1,1),(1,1) with fracs [0,.5,0,.5] (1.5 clamps to the last
+    row). For [[1,2],[3,4]] the full 4x4 answer follows by hand. Pins the
+    convention the tfgan inception module applies internally
+    (reference cld_jax/evaluation.py:100-102); half-pixel sampling
+    (jax.image.resize) would produce a different grid.
+    """
+    from gddim_tpu.evals.inception import _tf1_resize_bilinear
+
+    x = jnp.asarray([[1.0, 2.0], [3.0, 4.0]]).reshape(1, 2, 2, 1)
+    out = np.asarray(_tf1_resize_bilinear(x, 4))[0, :, :, 0]
+    expected = np.array(
+        [
+            [1.0, 1.5, 2.0, 2.0],
+            [2.0, 2.5, 3.0, 3.0],
+            [3.0, 3.5, 4.0, 4.0],
+            [3.0, 3.5, 4.0, 4.0],
+        ]
+    )
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+    # and it must NOT match half-pixel sampling on the same input
+    halfpix = np.asarray(
+        jax.image.resize(x, (1, 4, 4, 1), "bilinear", antialias=False)
+    )[0, :, :, 0]
+    assert np.abs(halfpix - expected).max() > 0.2
+
+
+def test_avgpool_excl_2d_golden():
+    """Hand-derived fixture for the exclusive-pad 3x3 avg pool (the
+    tfgan/2015 FID graph branch-pool semantics): on [[1..9]] each output is
+    the mean of the in-bounds window only."""
+    from gddim_tpu.evals.inception import _avgpool3, _avgpool3_excl
+
+    x = jnp.arange(1.0, 10.0).reshape(1, 3, 3, 1)
+    out = np.asarray(_avgpool3_excl(x))[0, :, :, 0]
+    expected = np.array(
+        [
+            [3.0, 3.5, 4.0],
+            [4.5, 5.0, 5.5],
+            [6.0, 6.5, 7.0],
+        ]
+    )
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+    # inclusive (torchvision) semantics divide by 9 everywhere: corner 12/9
+    incl = np.asarray(_avgpool3(x))[0, :, :, 0]
+    np.testing.assert_allclose(incl[0, 0], 12.0 / 9.0, atol=1e-6)
+
+
+# Frozen on the CPU backend (the pytest platform, tests/conftest.py); seed 7
+# random weights + byte-gradient input. Regenerate ONLY on an intentional
+# convention change: scripts in the test docstring below.
+_FP2015 = {
+    "pool_mean": 0.03290675053616425,
+    "pool_absmean": 0.03290675053616425,
+    "pool0": [
+        0.00016436899022664875,
+        0.003098044078797102,
+        0.028918830677866936,
+        0.0004867326351813972,
+    ],
+    "pool1_100": 0.007984030060470104,
+    "logits_mean": -0.0008938872920153367,
+    "logits0": [
+        0.052741795778274536,
+        -0.01423278171569109,
+        0.05180332437157631,
+        -0.008303102105855942,
+    ],
+}
+
+
+@pytest.mark.slow
+def test_inception_fid2015_activation_fingerprint():
+    """Frozen end-to-end activation fingerprint: random weights (seed 7) +
+    deterministic byte-gradient input -> pinned pool_3/logits values. Fails
+    if ANY pooling/resize/padding/concat convention in the port drifts."""
+    from gddim_tpu.evals.inception import InceptionV3, random_state_dict
+
+    sd = random_state_dict(np.random.default_rng(7), n_classes=1008)
+    imgs = (np.arange(2 * 32 * 32 * 3).reshape(2, 32, 32, 3) * 37 % 256).astype(
+        np.float32
+    )
+    out = jax.jit(InceptionV3(sd, mode="fid2015").__call__)(jnp.asarray(imgs))
+    p = np.asarray(out["pool_3"], np.float64)
+    l = np.asarray(out["logits"], np.float64)
+    assert p.shape == (2, 2048) and l.shape == (2, 1008)
+    np.testing.assert_allclose(p.mean(), _FP2015["pool_mean"], rtol=1e-4)
+    np.testing.assert_allclose(np.abs(p).mean(), _FP2015["pool_absmean"], rtol=1e-4)
+    np.testing.assert_allclose(p[0, ::512], _FP2015["pool0"], rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(p[1, 100], _FP2015["pool1_100"], rtol=1e-3)
+    np.testing.assert_allclose(l.mean(), _FP2015["logits_mean"], rtol=1e-4)
+    np.testing.assert_allclose(l[0, ::300], _FP2015["logits0"], rtol=1e-3, atol=1e-6)
