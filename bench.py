@@ -1,16 +1,22 @@
-"""Benchmark: images/sec/chip for NFE=50 CIFAR-10 CLD sampling (the headline).
+"""Benchmark: images/sec/chip for NFE=50 CIFAR-10 sampling (the headline).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
 
-- optimized path: bf16 activations, MXU-shaped attention, separable-depthwise
-  FIR, scan sampler with donated buffers.
-- x1 baseline: the reference implementation style on the same hardware — f32,
-  the reference's (B,H,W,H,W) einsum attention and channel-in-batch upfirdn
-  (the reference publishes no throughput numbers, so the baseline is measured
-  from a faithful reimplementation of its compute graph; BASELINE.md).
+Families (driver BASELINE configs #1 and #2):
+- cld (default): deis order-2 sampling on the accr_dcifar10 NCSN++ flagship.
+- blur: order0 DCT-space sampling on the ddpm_deep blur config.
 
-The measured baseline is cached in bench_baseline.json (committed after a
+- optimized path: bf16 activations, fused Pallas block kernels (int8 MXU),
+  MXU-shaped attention, separable-depthwise FIR, matmul DCT, scan sampler
+  with donated buffers.
+- x1 baseline: the reference implementation style on the same hardware — f32,
+  the reference's (B,H,W,H,W) einsum attention, channel-in-batch upfirdn,
+  FFT-based DCT (the reference publishes no throughput numbers, so the
+  baseline is measured from a faithful reimplementation of its compute
+  graph; BASELINE.md).
+
+Measured baselines are cached in bench_baseline.json (committed after a
 real-TPU run) so routine bench runs only time the optimized path.
 """
 
@@ -27,16 +33,25 @@ import numpy as np
 
 BASELINE_CACHE = Path(__file__).parent / "bench_baseline.json"
 
+METRICS = {
+    "cld": "images_per_sec_per_chip_cifar10_nfe50_deis2",
+    "blur": "images_per_sec_per_chip_blur_cifar10_nfe50_order0",
+}
 
-def _build_config(mode: str, smoke: bool, conv_impl: str = "int8"):
+
+def _build_config(family: str, mode: str, smoke: bool, conv_impl: str = "int8"):
     from gddim_tpu.configs import get_config
 
-    config = get_config("cld/accr_dcifar10")
-    config.sampling.method = "deis"
+    if family == "cld":
+        config = get_config("cld/accr_dcifar10")
+        config.sampling.method = "deis"
+        config.sampling.deis_order = 2
+        config.sampling.noise_removal = True
+    else:
+        config = get_config("blur/ddpm_deep_cifar10")
+        config.sampling.method = "order0"
     config.sampling.nfe = 50
-    config.sampling.deis_order = 2
     config.sampling.ts_order = 2
-    config.sampling.noise_removal = True
     if mode == "opt":
         config.model.dtype = "bfloat16"
         config.model.attention_impl = "auto"
@@ -53,35 +68,79 @@ def _build_config(mode: str, smoke: bool, conv_impl: str = "int8"):
     return config
 
 
-def _sample_fn(config):
-    from gddim_tpu.math.cld import CLD
-    from gddim_tpu.models import init_model, make_cld_eps_fn
-    from gddim_tpu.samplers.factory import build_cld_sampler
+def _sample_fn(family: str, config, static_scales: bool = False):
+    from gddim_tpu.models import init_model
 
     rng = jax.random.PRNGKey(0)
     model, model_state, params = init_model(rng, config)
-    sde = CLD.from_config(config)
-    eps_apply = make_cld_eps_fn(sde, model, train=False)
-    sampler = build_cld_sampler(
-        config, sde, eps_apply, (32, 32, 3), inverse_scaler=lambda x: (x + 1) / 2
-    )
     variables = {"params": params, **model_state}
+    if static_scales:
+        # calibrated static activation scales: one short unfused trajectory
+        # with amax capture; merging 'qscales' flips the fused int8 kernels
+        # to the amax-free static path (gddim_tpu/models/calibrate.py)
+        from gddim_tpu.models import calibrate as cal
+
+        if family == "cld":
+            from gddim_tpu.math.cld import CLD
+
+            sde0 = CLD.from_config(config)
+            qs = cal.calibrate_cld_qscales(config, model, variables, sde0)
+        else:
+            from gddim_tpu.math import blur as blur_lib
+
+            sde0 = blur_lib.from_config(config)
+            qs = cal.calibrate_blur_qscales(config, model, variables, sde0)
+        variables = dict(variables, qscales=qs)
+    if family == "cld":
+        from gddim_tpu.math.cld import CLD
+        from gddim_tpu.models import make_cld_eps_fn
+        from gddim_tpu.samplers.factory import build_cld_sampler
+
+        sde = CLD.from_config(config)
+        eps_apply = make_cld_eps_fn(sde, model, train=False)
+        sampler = build_cld_sampler(
+            config, sde, eps_apply, (32, 32, 3),
+            inverse_scaler=lambda x: (x + 1) / 2,
+        )
+    else:
+        from gddim_tpu.math import blur as blur_lib
+        from gddim_tpu.models.wrappers import make_blur_yeps_fn
+        from gddim_tpu.samplers.blur import build_blur_sampler_from_config
+
+        sde = blur_lib.from_config(config)
+        yeps_apply = make_blur_yeps_fn(sde, model, train=False)
+        blur_sampler = build_blur_sampler_from_config(
+            config, sde, yeps_apply, (32, 32, 3),
+            inverse_scaler=lambda x: (x + 1) / 2,
+        )
+
+        def sampler(rng, variables, batch):  # uniform (x, v, nfe) arity
+            x, nfe = blur_sampler(rng, variables, batch)
+            return x, None, nfe
+
     return sampler, variables
 
 
-def measure(mode: str, batch: int, reps: int, smoke: bool,
-            conv_impl: str = "int8") -> float:
+def measure(family: str, mode: str, batch: int, reps: int, smoke: bool,
+            conv_impl: str = "int8", static_scales: bool = False) -> float:
+    from gddim_tpu.math import dct
     from gddim_tpu.models import resample
 
-    config = _build_config(mode, smoke, conv_impl)
+    config = _build_config(family, mode, smoke, conv_impl)
     resample.FIR_IMPL = "channel_batch" if mode == "ref" else "separable"
+    dct.DCT_IMPL = "fft" if mode == "ref" else "matmul"
     try:
-        sampler, variables = _sample_fn(config)
+        sampler, variables = _sample_fn(
+            family, config,
+            static_scales=static_scales and mode == "opt"
+            and conv_impl == "fused_int8",
+        )
         if mode == "opt":
             # pre-cast >=2-D params to bf16: the bf16 modules cast at use
             # anyway, so this is numerically identical but halves param HBM
             # traffic per NFE step (107.6M params x 4B otherwise re-read as
             # f32 every model eval). 1-D norm scales/biases stay f32.
+            # (qscales amaxes are 0-D and stay f32.)
             variables = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if hasattr(a, "dtype") and a.dtype == jnp.float32 and a.ndim >= 2
@@ -107,6 +166,7 @@ def measure(mode: str, batch: int, reps: int, smoke: bool,
         return batch * reps / dt
     finally:
         resample.FIR_IMPL = "separable"
+        dct.DCT_IMPL = "matmul"
 
 
 def _enable_compile_cache():
@@ -127,14 +187,30 @@ def _enable_compile_cache():
         pass  # older jax without these flags
 
 
+def _load_baseline_cache() -> dict:
+    if not BASELINE_CACHE.exists():
+        return {}
+    cached = json.loads(BASELINE_CACHE.read_text())
+    # legacy layout: flat {"ref_ips": ..., "backend": ...} = the cld family
+    if "ref_ips" in cached:
+        return {"cld": {"ref_ips": cached["ref_ips"], "backend": cached.get("backend")}}
+    return cached
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--family", choices=["cld", "blur"], default="cld")
     parser.add_argument("--mode", choices=["opt", "ref", "both"], default="opt")
     parser.add_argument("--batch", type=int, default=0, help="0 = sweep")
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument(
-        "--conv", default="fused_int8", choices=["fused", "fused_int8", "int8", "pallas", "xla"],
+        "--conv", default="fused_int8",
+        choices=["fused", "fused_int8", "int8", "pallas", "xla"],
         help="conv implementation for the optimized path",
+    )
+    parser.add_argument(
+        "--static", action=argparse.BooleanOptionalAction, default=True,
+        help="calibrated static activation scales for the fused int8 path",
     )
     args = parser.parse_args()
 
@@ -149,7 +225,8 @@ def main():
         best = 0.0
         for b in batches:
             try:
-                ips = measure(mode, b, args.reps, smoke, conv_impl=args.conv)
+                ips = measure(args.family, mode, b, args.reps, smoke,
+                              conv_impl=args.conv, static_scales=args.static)
             except Exception as e:  # e.g. VMEM OOM at a large batch
                 print(f"# {mode} batch={b}: failed ({type(e).__name__})", flush=True)
                 continue
@@ -162,21 +239,20 @@ def main():
         results[mode] = best
 
     # resolve the baseline
+    cache = _load_baseline_cache()
     if "ref" in results:
         baseline = results["ref"]
         if not smoke:
-            BASELINE_CACHE.write_text(
-                json.dumps({"ref_ips": baseline, "backend": backend})
-            )
-    elif BASELINE_CACHE.exists():
-        cached = json.loads(BASELINE_CACHE.read_text())
-        baseline = float(cached["ref_ips"])
+            cache[args.family] = {"ref_ips": baseline, "backend": backend}
+            BASELINE_CACHE.write_text(json.dumps(cache))
+    elif args.family in cache:
+        baseline = float(cache[args.family]["ref_ips"])
     else:
         baseline = None
 
     value = results.get("opt", results.get("ref"))
     out = {
-        "metric": "images_per_sec_per_chip_cifar10_nfe50_deis2",
+        "metric": METRICS[args.family],
         "value": round(value, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(value / baseline, 3) if baseline else None,

@@ -23,6 +23,44 @@ from gddim_tpu.ops.attention import self_attention_2d
 _INV_SQRT2 = 0.7071067811865476
 
 
+def _amax(h):
+    return jnp.max(jnp.abs(h.astype(jnp.float32)))
+
+
+def _sow_amax(mod, name, h):
+    """Record the activation amax at an int8 quantization site during a
+    calibration pass (apply with mutable=['qscales']); folds the max across
+    repeated calls (multiple timesteps/batches in one apply)."""
+    mod.sow(
+        "qscales", name, _amax(h),
+        init_fn=lambda: jnp.zeros((), jnp.float32),
+        reduce_fn=jnp.maximum,
+    )
+
+
+def _calibrating(mod) -> bool:
+    return mod.is_mutable_collection("qscales") and not mod.is_initializing()
+
+
+def _static_scales(mod, *site_names):
+    """Calibrated static activation scales for this module's quant sites, or
+    None when absent/not int8 (-> per-sample dynamic scales in-kernel).
+    None entries in site_names stay None (sites without a projection)."""
+    from gddim_tpu.ops.resblock import act_scales_from_amax
+
+    if layers.CONV3X3_IMPL != "fused_int8":
+        return None
+    qs = mod.variables.get("qscales", None)
+    if not qs:
+        return None
+    needed = [n for n in site_names if n is not None]
+    if not all(n in qs for n in needed):
+        return None
+    return act_scales_from_amax(
+        tuple(None if n is None else qs[n] for n in site_names)
+    )
+
+
 class AttnBlockpp(nn.Module):
     """Spatial self-attention block (reference layerspp.py:61-83)."""
 
@@ -39,9 +77,11 @@ class AttnBlockpp(nn.Module):
         # Inference-only: the kernel has no VJP (train=True falls through).
         from gddim_tpu.ops import attnblock as attnblock_ops
 
+        calibrating = _calibrating(self)
         if (
             layers.CONV3X3_IMPL in ("fused", "fused_int8")
             and not train
+            and not calibrating
             and not self.is_initializing()
             and attnblock_ops.supported(x.shape)
         ):
@@ -56,13 +96,22 @@ class AttnBlockpp(nn.Module):
                 vs["NIN_3"]["W"], vs["NIN_3"]["b"],
                 num_groups=min(c // 4, 32),
                 skip_rescale=self.skip_rescale,
+                mm_dtype=(
+                    jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
+                    else jnp.bfloat16
+                ),
+                act_scales=_static_scales(self, "h", "a"),
             )
 
         h = group_norm(x)
+        if calibrating:
+            _sow_amax(self, "h", h)
         q = NIN(x.shape[-1], dtype=self.dtype)(h)
         k = NIN(x.shape[-1], dtype=self.dtype)(h)
         v = NIN(x.shape[-1], dtype=self.dtype)(h)
         h = self_attention_2d(q, k, v, impl=self.attention_impl)
+        if calibrating:
+            _sow_amax(self, "a", h)
         h = NIN(x.shape[-1], init_scale=self.init_scale, dtype=self.dtype)(h)
         if not self.skip_rescale:
             return x + h
@@ -157,9 +206,11 @@ class ResnetBlockDDPMpp(nn.Module):
         # differs only in its skip projection, NIN instead of conv1x1)
         from gddim_tpu.ops import resblock as resblock_ops
 
+        calibrating = _calibrating(self)
         if (
             layers.CONV3X3_IMPL in ("fused", "fused_int8")
             and not train
+            and not calibrating
             and temb is not None
             and self.act is nn.swish
             and not (c != out_ch and self.conv_shortcut)
@@ -190,12 +241,17 @@ class ResnetBlockDDPMpp(nn.Module):
                     jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
                     else resblock_ops.MM_DTYPE
                 ),
+                act_scales=_static_scales(
+                    self, "a1", "a2", "x" if c != out_ch else None
+                ),
             )
 
         # int8 inference: the norm+silu kernel emits the quantized tensor the
         # conv consumes directly (no standalone HBM quantize pass)
         fuse1 = (not train) and layers.int8_conv_fusion_ok(x.shape, out_ch)
         h = norm_act(x, self.act, quantize_out=fuse1)
+        if calibrating:
+            _sow_amax(self, "a1", h)
         h = conv3x3(h, out_ch, dtype=self.dtype, allow_quantized=not train)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
@@ -203,10 +259,14 @@ class ResnetBlockDDPMpp(nn.Module):
             )[:, None, None, :]
         fuse2 = (not train) and layers.int8_conv_fusion_ok(h.shape, out_ch)
         h = norm_act(h, self.act, quantize_out=fuse2)
+        if calibrating:
+            _sow_amax(self, "a2", h)
         if not fuse2:  # eval-time dropout is the identity; skip under fusion
             h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype, allow_quantized=not train)
         if c != out_ch:
+            if calibrating and not self.conv_shortcut:
+                _sow_amax(self, "x", x)
             if self.conv_shortcut:
                 x = conv3x3(x, out_ch, dtype=self.dtype, allow_quantized=not train)
             else:
@@ -243,9 +303,11 @@ class ResnetBlockBigGANpp(nn.Module):
         # the normal path so the parameter tree is identical.
         from gddim_tpu.ops import resblock as resblock_ops
 
+        calibrating = _calibrating(self)
         if (
             layers.CONV3X3_IMPL in ("fused", "fused_int8")
             and not train
+            and not calibrating
             and not self.up and not self.down
             and temb is not None
             and self.act is nn.swish
@@ -276,7 +338,60 @@ class ResnetBlockBigGANpp(nn.Module):
                     jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
                     else resblock_ops.MM_DTYPE
                 ),
+                act_scales=_static_scales(
+                    self, "a1", "a2", "x" if c != out_ch else None
+                ),
             )
+
+        # up/down transition blocks: GN1+SiLU and the FIR resample run at the
+        # pre/post-resample resolutions, then the remainder (conv1+temb+GN2+
+        # SiLU+conv2+conv1x1-skip) runs as one fused tail kernel — the six
+        # transition blocks per forward no longer fall through to the fully
+        # unfused path (ops/resblock.py:fused_resblock_tail).
+        if (
+            layers.CONV3X3_IMPL in ("fused", "fused_int8")
+            and not train
+            and not calibrating
+            and (self.up or self.down)
+            and temb is not None
+            and self.act is nn.swish
+            and not self.is_initializing()
+        ):
+            b_, hh_, ww_, _ = x.shape
+            hw2 = (hh_ * 2, ww_ * 2) if self.up else (hh_ // 2, ww_ // 2)
+            if resblock_ops.supported((b_,) + hw2 + (c,), out_ch):
+                h = norm_act(x, self.act)
+                res = resample.upsample_2d if self.up else resample.downsample_2d
+                naive = (
+                    resample.naive_upsample_2d if self.up
+                    else resample.naive_downsample_2d
+                )
+                if self.fir:
+                    h = res(h, self.fir_kernel, factor=2)
+                    xr = res(x, self.fir_kernel, factor=2)
+                else:
+                    h = naive(h, factor=2)
+                    xr = naive(x, factor=2)
+                vs = self.variables["params"]
+                temb_proj = (
+                    self.act(temb).astype(jnp.float32)
+                    @ vs["Dense_0"]["kernel"].astype(jnp.float32)
+                    + vs["Dense_0"]["bias"].astype(jnp.float32)
+                )
+                return resblock_ops.fused_resblock_tail(
+                    h, xr, temb_proj,
+                    vs["Conv_0"]["kernel"], vs["Conv_0"]["bias"],
+                    vs["GroupNorm_1"]["scale"], vs["GroupNorm_1"]["bias"],
+                    vs["Conv_1"]["kernel"], vs["Conv_1"]["bias"],
+                    vs["Conv_2"]["kernel"][0, 0], vs["Conv_2"]["bias"],
+                    num_groups2=min(out_ch // 4, 32),
+                    skip_rescale=self.skip_rescale,
+                    mm_dtype=(
+                        jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
+                        else resblock_ops.MM_DTYPE
+                    ),
+                    act_scales=_static_scales(self, "a1", "a2", "x"),
+                )
 
         # int8 inference: fuse quantization into the norm+silu kernel when
         # the output feeds conv3x3 directly (no resampling in between)
@@ -301,6 +416,8 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = resample.naive_downsample_2d(h, factor=2)
                 x = resample.naive_downsample_2d(x, factor=2)
 
+        if calibrating:
+            _sow_amax(self, "a1", h)  # post-resample for transition blocks
         h = conv3x3(h, out_ch, dtype=self.dtype, allow_quantized=not train)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(), dtype=self.dtype)(
@@ -308,10 +425,14 @@ class ResnetBlockBigGANpp(nn.Module):
             )[:, None, None, :]
         fuse2 = (not train) and layers.int8_conv_fusion_ok(h.shape, out_ch)
         h = norm_act(h, self.act, quantize_out=fuse2)
+        if calibrating:
+            _sow_amax(self, "a2", h)
         if not fuse2:  # eval-time dropout is the identity; skip under fusion
             h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype, allow_quantized=not train)
         if c != out_ch or self.up or self.down:
+            if calibrating:
+                _sow_amax(self, "x", x)  # post-resample for transition blocks
             x = conv1x1(x, out_ch, dtype=self.dtype)
         if not self.skip_rescale:
             return x + h

@@ -37,35 +37,80 @@ def _gn_2d(x, pmat, scale, bias, inv_n, eps):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _quant_2d(a):
+    """(n, C) f32 -> (int8, scalar scale), symmetric."""
+    s = jnp.maximum(jnp.max(jnp.abs(a)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _attnblock_kernel(
-    x_ref, gns_ref, gnb_ref, p_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-    wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
-    *, bt, n, c, inv_n, eps, rescale, mm_dtype,
+    x_ref, gns_ref, gnb_ref, p_ref, wq_ref, bq_ref, wqs_ref,
+    wk_ref, bk_ref, wks_ref, wv_ref, bv_ref, wvs_ref,
+    wo_ref, bo_ref, wos_ref, *rest,
+    bt, n, c, inv_n, eps, rescale, mm_dtype, static_scales=False,
 ):
+    """int8 mm_dtype: the four NIN projections run on the int8 MXU path with
+    per-sample activation quantization in-kernel (weights arrive int8 with
+    per-output-channel scales in w*s_ref); the (n, n) attention matmuls stay
+    bf16 — they are <1/3 of the block's FLOPs and softmax needs f32 anyway.
+
+    static_scales: a qs_ref operand carries [1/s_h, 1/s_a] calibrated inverse
+    activation scales; amax reductions are skipped and the w*s rows arrive
+    pre-multiplied by the activation scale.
+    """
+    rest = list(rest)
+    qs_ref = rest.pop(0) if static_scales else None
+    (o_ref,) = rest
+    int8 = mm_dtype == jnp.int8
+    attn_dtype = jnp.bfloat16 if int8 else mm_dtype
+
     def mm(a, w):
         return jax.lax.dot_general(
             a.astype(mm_dtype), w.astype(mm_dtype),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32 if int8 else jnp.float32,
         )
 
     scale = c ** (-0.5)
     for s in range(bt):
         x = x_ref[s].astype(jnp.float32)  # (n, c)
         h = _gn_2d(x, p_ref[...], gns_ref[0], gnb_ref[0], inv_n, eps)
-        q = mm(h, wq_ref[...]) + bq_ref[0]
-        k = mm(h, wk_ref[...]) + bk_ref[0]
-        v = mm(h, wv_ref[...]) + bv_ref[0]
+        if int8:
+            if static_scales:
+                hq = jnp.clip(jnp.round(h * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
+                hs = 1.0
+            else:
+                hq, hs = _quant_2d(h)
+            q = mm(hq, wq_ref[...]).astype(jnp.float32) * (hs * wqs_ref[0]) + bq_ref[0]
+            k = mm(hq, wk_ref[...]).astype(jnp.float32) * (hs * wks_ref[0]) + bk_ref[0]
+            v = mm(hq, wv_ref[...]).astype(jnp.float32) * (hs * wvs_ref[0]) + bv_ref[0]
+        else:
+            q = mm(h, wq_ref[...]) + bq_ref[0]
+            k = mm(h, wk_ref[...]) + bk_ref[0]
+            v = mm(h, wv_ref[...]) + bv_ref[0]
         logits = jax.lax.dot_general(
-            q.astype(mm_dtype), k.astype(mm_dtype),
+            q.astype(attn_dtype), k.astype(attn_dtype),
             (((1,), (1,)), ((), ())),  # q @ k^T
             preferred_element_type=jnp.float32,
         ) * scale
         logits = logits - jnp.max(logits, axis=1, keepdims=True)
         p = jnp.exp(logits)
         p = p / jnp.sum(p, axis=1, keepdims=True)
-        a = mm(p, v)
-        o = mm(a, wo_ref[...]) + bo_ref[0]
+        a = jax.lax.dot_general(
+            p.astype(attn_dtype), v.astype(attn_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if int8:
+            if static_scales:
+                aq = jnp.clip(jnp.round(a * qs_ref[0, 1]), -127, 127).astype(jnp.int8)
+                asc = 1.0
+            else:
+                aq, asc = _quant_2d(a)
+            o = mm(aq, wo_ref[...]).astype(jnp.float32) * (asc * wos_ref[0]) + bo_ref[0]
+        else:
+            o = mm(a, wo_ref[...]) + bo_ref[0]
         out = x + o
         if rescale:
             out = out * _INV_SQRT2
@@ -75,9 +120,15 @@ def _attnblock_kernel(
 def fused_attnblock(
     x, gn_scale, gn_bias, wq, bq, wk, bk, wv, bv, wo, bo,
     *, num_groups: int, eps: float = 1e-6, skip_rescale: bool = False,
-    mm_dtype=jnp.bfloat16,
+    mm_dtype=jnp.bfloat16, act_scales=None,
 ):
-    """x: (B, H, W, C); NIN weights (C, C) with (C,) biases."""
+    """x: (B, H, W, C); NIN weights (C, C) with (C,) biases.
+
+    act_scales (int8 only): calibrated (s_h, s_a) static activation scales —
+    skips the per-sample amax reductions in the kernel.
+    """
+    int8 = mm_dtype == jnp.int8
+    static = bool(int8 and act_scales is not None)
     b, h, w_, c = x.shape
     n = h * w_
     bt = 1
@@ -94,33 +145,56 @@ def fused_attnblock(
     inv_n = 1.0 / (n * (c // num_groups))
     kernel = functools.partial(
         _attnblock_kernel, bt=bt, n=n, c=c, inv_n=inv_n, eps=eps,
-        rescale=skip_rescale, mm_dtype=mm_dtype,
+        rescale=skip_rescale, mm_dtype=mm_dtype, static_scales=static,
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
-    mat = lambda v: jnp.asarray(v, jnp.float32)
+
+    def mat(v):
+        """-> (kernel weight operand, (1, C) dequant scale row)."""
+        wm = jnp.asarray(v, jnp.float32)
+        if not int8:
+            return wm, jnp.ones((1, wm.shape[-1]), jnp.float32)
+        sc = jnp.maximum(jnp.abs(wm).max(axis=0), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(wm / sc), -127, 127).astype(jnp.int8)
+        return q, sc.reshape(1, -1)
+
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    wq_op, wq_sc = mat(wq)
+    wk_op, wk_sc = mat(wk)
+    wv_op, wv_sc = mat(wv)
+    wo_op, wo_sc = mat(wo)
+    args = [
+        x.reshape(b, n, c),
+        row(gn_scale), row(gn_bias), _group_indicator(c, num_groups),
+        wq_op, row(bq), wq_sc, wk_op, row(bk), wk_sc,
+        wv_op, row(bv), wv_sc, wo_op, row(bo), wo_sc,
+    ]
+    if static:
+        s_h, s_a = act_scales
+        for i in (6, 9, 12):  # wq/wk/wv scale rows pre-multiplied by s_h
+            args[i] = args[i] * s_h
+        args[15] = args[15] * s_a
+        qs = jnp.zeros((1, 128), jnp.float32)
+        qs = qs.at[0, 0].set(1.0 / s_h).at[0, 1].set(1.0 / s_a)
+        args.append(qs)
     out = pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=[
             pl.BlockSpec((bt, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             const((1, c)), const((1, c)), const((c, c)),
-            const((c, c)), const((1, c)),
-            const((c, c)), const((1, c)),
-            const((c, c)), const((1, c)),
-            const((c, c)), const((1, c)),
-        ],
+            const((c, c)), const((1, c)), const((1, c)),
+            const((c, c)), const((1, c)), const((1, c)),
+            const((c, c)), const((1, c)), const((1, c)),
+            const((c, c)), const((1, c)), const((1, c)),
+        ] + ([const((1, 128))] if static else []),
         out_specs=pl.BlockSpec(
             (bt, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
-    )(
-        x.reshape(b, n, c),
-        row(gn_scale), row(gn_bias), _group_indicator(c, num_groups),
-        mat(wq), row(bq), mat(wk), row(bk), mat(wv), row(bv), mat(wo), row(bo),
-    )
+    )(*args)
     return out.reshape(b, h, w_, c)
 
 

@@ -64,6 +64,25 @@ def _quant_2d(a):
     return q, s
 
 
+def _quant_2d_static(a, inv_s):
+    """(n, C) f32 -> int8 with a calibrated static scale (no amax pass)."""
+    return jnp.clip(jnp.round(a * inv_s), -127, 127).astype(jnp.int8)
+
+
+# margin applied to calibrated amaxes: sampling-time activations may slightly
+# exceed the calibration sweep's
+CALIB_MARGIN = 1.1
+
+
+def act_scales_from_amax(amaxes):
+    """(amax...) -> (scale...) rows for the static-scale kernel path."""
+    return tuple(
+        None if a is None
+        else jnp.maximum(jnp.asarray(a, jnp.float32), 1e-12) * (CALIB_MARGIN / 127.0)
+        for a in amaxes
+    )
+
+
 def _conv9(h_pad_ref, w_ref, bt, h, w, cin, cout, dtype):
     """9 shifted matmuls over the VMEM-resident padded tiles (bt samples)."""
     int8 = dtype == jnp.int8
@@ -85,8 +104,9 @@ def _resblock_kernel(
     x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref, w1sc_ref,
     gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
     wskip_ref, bskip_ref, wsksc_ref,
-    o_ref, hpad_ref, hpad2_ref,
-    *, bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
+    *rest,
+    bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
+    apply_gn1=True, separate_skip=False, static_scales=False,
 ):
     """bt samples per grid step; all weights + the tiles resident in VMEM.
 
@@ -98,7 +118,20 @@ def _resblock_kernel(
     mm_dtype == int8: activations are quantized per sample INSIDE the kernel
     (no HBM cost), weights arrive int8 with per-channel scales in w*sc_ref,
     and the int32 accumulators are dequantized in the epilogues.
+
+    Up/down transition blocks (tail mode): apply_gn1=False means x_ref
+    already holds silu(GN1(x)) resampled outside the kernel, and
+    separate_skip=True adds an xskip_ref operand (the resampled residual
+    input) that the skip projection consumes instead of x_ref.
+
+    static_scales (int8 only): a qs_ref operand carries calibrated inverse
+    activation scales [1/s1, 1/s2, 1/sx]; the per-sample amax reductions are
+    skipped and the dequant scale rows arrive pre-multiplied by s_act.
     """
+    rest = list(rest)
+    xskip_ref = rest.pop(0) if separate_skip else x_ref
+    qs_ref = rest.pop(0) if static_scales else None
+    o_ref, hpad_ref, hpad2_ref = rest
     int8 = mm_dtype == jnp.int8
     n = h * w
 
@@ -113,13 +146,19 @@ def _resblock_kernel(
     # --- GN1 + SiLU into the zero-padded conv buffer, per sample -----------
     s1s = []
     for s in range(bt):
-        a1 = _gn_silu_2d(
-            x_ref[s].astype(jnp.float32), p1_ref[...], gn1s_ref[0],
-            gn1b_ref[0], inv_n1, eps,
-        )
+        if apply_gn1:
+            a1 = _gn_silu_2d(
+                x_ref[s].astype(jnp.float32), p1_ref[...], gn1s_ref[0],
+                gn1b_ref[0], inv_n1, eps,
+            )
+        else:  # tail mode: x_ref already holds silu(GN1(x)), resampled
+            a1 = x_ref[s].astype(jnp.float32)
         if int8:
-            a1, sc = _quant_2d(a1)
-            s1s.append(sc)
+            if static_scales:
+                a1 = _quant_2d_static(a1, qs_ref[0, 0])
+            else:
+                a1, sc = _quant_2d(a1)
+                s1s.append(sc)
         hpad_ref[s, 1 : h + 1, 1 : w + 1, :] = a1.reshape(h, w, cin).astype(
             hpad_ref.dtype
         )
@@ -130,15 +169,19 @@ def _resblock_kernel(
     for s in range(bt):
         acc_s = acc[s * n : (s + 1) * n].astype(jnp.float32)
         if int8:
-            acc_s = acc_s * (s1s[s] * w1sc_ref[0])
+            # static mode: w1sc arrives pre-multiplied by the s1 act scale
+            acc_s = acc_s * (w1sc_ref[0] if static_scales else s1s[s] * w1sc_ref[0])
         # temb arrives pre-broadcast as (B, 8, Cout): row 0 of this sample
         acc_s = acc_s + b1_ref[0] + temb_ref[s, 0:1, :]
         a2 = _gn_silu_2d(
             acc_s, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps
         )
         if int8:
-            a2, sc2 = _quant_2d(a2)
-            s2s.append(sc2)
+            if static_scales:
+                a2 = _quant_2d_static(a2, qs_ref[0, 1])
+            else:
+                a2, sc2 = _quant_2d(a2)
+                s2s.append(sc2)
         hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2.reshape(h, w, cout).astype(
             hpad2_ref.dtype
         )
@@ -146,19 +189,24 @@ def _resblock_kernel(
     # --- conv2 (batched) + per-sample epilogue: bias + skip + residual -----
     acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
     for s in range(bt):
-        x_s = x_ref[s].astype(jnp.float32)  # (n, cin)
+        x_s = xskip_ref[s].astype(jnp.float32)  # (n, cin)
         h_s = acc2[s * n : (s + 1) * n].astype(jnp.float32)
         if int8:
-            h_s = h_s * (s2s[s] * w2sc_ref[0])
+            h_s = h_s * (w2sc_ref[0] if static_scales else s2s[s] * w2sc_ref[0])
         h_s = h_s + b2_ref[0]
         if has_skip:
             if int8:
-                xq, sx = _quant_2d(x_s)
+                if static_scales:
+                    xq = _quant_2d_static(x_s, qs_ref[0, 2])
+                    xdq = wsksc_ref[0]
+                else:
+                    xq, sx = _quant_2d(x_s)
+                    xdq = sx * wsksc_ref[0]
                 skip = jax.lax.dot_general(
                     xq, wskip_ref[...],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * (sx * wsksc_ref[0]) + bskip_ref[0]
+                ).astype(jnp.float32) * xdq + bskip_ref[0]
             else:
                 skip = jax.lax.dot_general(
                     x_s.astype(mm_dtype), wskip_ref[...].astype(mm_dtype),
@@ -197,10 +245,19 @@ def _pick_bt(b, h, w, cin, cout) -> int:
     return 1
 
 
+def _qs_row(act_scales):
+    """(s1, s2, sx|None) scale tuple -> (1, 128) [1/s1, 1/s2, 1/sx, 0...]."""
+    s1, s2, sx = act_scales
+    vals = [1.0 / s1, 1.0 / s2, (1.0 / sx) if sx is not None else 0.0]
+    row = jnp.zeros((1, 128), jnp.float32)
+    return row.at[0, : len(vals)].set(jnp.stack([jnp.asarray(v, jnp.float32) for v in vals]))
+
+
 def fused_resblock(
     x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
     w_skip=None, b_skip=None, *, num_groups1: int, num_groups2: int,
     eps: float = 1e-6, skip_rescale: bool = True, mm_dtype=None,
+    act_scales=None,
 ):
     """Run one full residual block (see module docstring).
 
@@ -208,9 +265,13 @@ def fused_resblock(
     outside (it is per-sample, tiny, and XLA fuses it with the time MLP);
     w1: (3,3,C,Cout); w2: (3,3,Cout,Cout); w_skip: (C, Cout) for the
     conv1x1/NIN shortcut when C != Cout (else identity skip).
+
+    act_scales (int8 only): calibrated (s1, s2, sx) static activation scales
+    (see act_scales_from_amax) — skips the per-sample amax reductions.
     """
     mm_dtype = mm_dtype or MM_DTYPE
     int8 = mm_dtype == jnp.int8
+    static = bool(int8 and act_scales is not None)
     b, h, w_, c = x.shape
     cout = w1.shape[-1]
     has_skip = w_skip is not None
@@ -234,6 +295,7 @@ def fused_resblock(
         _resblock_kernel,
         bt=bt, h=h, w=w_, cin=c, cout=cout, inv_n1=inv_n1, inv_n2=inv_n2,
         eps=eps, has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
+        static_scales=static,
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     w1_op, w1_sc = prep_w(w1, (9, c, cout))
@@ -241,6 +303,13 @@ def fused_resblock(
     wsk_op, wsk_sc = prep_w(
         w_skip if has_skip else np.zeros((c, cout), np.float32), (c, cout)
     )
+    if static:
+        s1, s2, sx = act_scales
+        w1_sc = w1_sc * s1
+        w2_sc = w2_sc * s2
+        if has_skip:
+            assert sx is not None, "projected skip needs a calibrated x scale"
+            wsk_sc = wsk_sc * sx
     temb_b = jnp.broadcast_to(
         jnp.asarray(temb_proj, jnp.float32)[:, None, :], (b, 8, cout)
     )
@@ -255,6 +324,8 @@ def fused_resblock(
         (row(b_skip) if b_skip is not None else jnp.zeros((1, cout), jnp.float32)),
         wsk_sc,
     ]
+    if static:
+        args.append(_qs_row(act_scales))
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -273,7 +344,7 @@ def fused_resblock(
             const((1, cout)), const((1, cout)), const((cout, cout)),
             const((9, cout, cout)), const((1, cout)), const((1, cout)),
             const((c, cout)), const((1, cout)), const((1, cout)),
-        ],
+        ] + ([const((1, 128))] if static else []),
         out_specs=pl.BlockSpec(
             (bt, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -289,6 +360,141 @@ def fused_resblock(
         ),
     )(*args)
     return out.reshape(b, h, w_, cout)
+
+
+def fused_resblock_tail(
+    h, x_skip, temb_proj, w1, b1, gn2_scale, gn2_bias, w2, b2,
+    w_skip, b_skip, *, num_groups2: int, eps: float = 1e-6,
+    skip_rescale: bool = True, mm_dtype=None, act_scales=None,
+):
+    """Fused core for up/down transition blocks (reference layerspp.py:180-227).
+
+    GN1+SiLU and the FIR resample run OUTSIDE (they need the pre-resample
+    resolution); this kernel runs the remainder — conv1+bias+temb -> GN2+SiLU
+    -> conv2+bias -> conv1x1(x_skip) + residual — with the tile in VMEM.
+
+    h: (B, H, W, C) = silu(GN1(x)) after resampling; x_skip: (B, H, W, C)
+    the resampled residual input; w_skip: (C, Cout) REQUIRED (transition
+    blocks always project the shortcut). act_scales: see fused_resblock.
+    """
+    mm_dtype = mm_dtype or MM_DTYPE
+    int8 = mm_dtype == jnp.int8
+    static = bool(int8 and act_scales is not None)
+    b, hh, ww, c = h.shape
+    cout = w1.shape[-1]
+    assert x_skip.shape == (b, hh, ww, c), (x_skip.shape, h.shape)
+    bt = _pick_bt(b, hh, ww, c, cout)
+
+    def prep_w(wm, shape):
+        wm = jnp.asarray(wm, jnp.float32).reshape(shape)
+        if not int8:
+            return (
+                wm.astype(jnp.bfloat16 if mm_dtype == jnp.bfloat16 else wm.dtype),
+                jnp.ones((1, shape[-1]), jnp.float32),
+            )
+        axes = tuple(range(wm.ndim - 1))
+        sc = jnp.maximum(jnp.abs(wm).max(axis=axes), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(wm / sc), -127, 127).astype(jnp.int8)
+        return q, sc.reshape(1, -1)
+
+    inv_n2 = 1.0 / (hh * ww * (cout // num_groups2))
+    kernel = functools.partial(
+        _resblock_kernel,
+        bt=bt, h=hh, w=ww, cin=c, cout=cout, inv_n1=1.0, inv_n2=inv_n2,
+        eps=eps, has_skip=True, rescale=skip_rescale, mm_dtype=mm_dtype,
+        apply_gn1=False, separate_skip=True, static_scales=static,
+    )
+    row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    w1_op, w1_sc = prep_w(w1, (9, c, cout))
+    w2_op, w2_sc = prep_w(w2, (9, cout, cout))
+    wsk_op, wsk_sc = prep_w(w_skip, (c, cout))
+    if static:
+        s1, s2, sx = act_scales
+        assert sx is not None
+        w1_sc = w1_sc * s1
+        w2_sc = w2_sc * s2
+        wsk_sc = wsk_sc * sx
+    temb_b = jnp.broadcast_to(
+        jnp.asarray(temb_proj, jnp.float32)[:, None, :], (b, 8, cout)
+    )
+    ones_c = jnp.ones((1, c), jnp.float32)
+    args = [
+        h.reshape(b, hh * ww, c),
+        temb_b,
+        ones_c, ones_c, _group_indicator(c, 1),  # unused GN1 params (tail mode)
+        w1_op, row(b1), w1_sc,
+        row(gn2_scale), row(gn2_bias), _group_indicator(cout, num_groups2),
+        w2_op, row(b2), w2_sc,
+        wsk_op,
+        (row(b_skip) if b_skip is not None else jnp.zeros((1, cout), jnp.float32)),
+        wsk_sc,
+        x_skip.reshape(b, hh * ww, c),
+    ]
+    if static:
+        args.append(_qs_row(act_scales))
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec(
+                (bt, hh * ww, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bt, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            const((1, c)), const((1, c)), const((c, c)),
+            const((9, c, cout)), const((1, cout)), const((1, cout)),
+            const((1, cout)), const((1, cout)), const((cout, cout)),
+            const((9, cout, cout)), const((1, cout)), const((1, cout)),
+            const((c, cout)), const((1, cout)), const((1, cout)),
+            pl.BlockSpec(
+                (bt, hh * ww, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ] + ([const((1, 128))] if static else []),
+        out_specs=pl.BlockSpec(
+            (bt, hh * ww, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hh * ww, cout), h.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, hh + 2, ww + 2, c), mm_dtype),
+            pltpu.VMEM((bt, hh + 2, ww + 2, cout), mm_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hh * ww * 9 * (c * cout + cout * cout),
+            bytes_accessed=b * hh * ww * (2 * c + cout) * h.dtype.itemsize,
+            transcendentals=b * hh * ww * cout,
+        ),
+    )(*args)
+    return out.reshape(b, hh, ww, cout)
+
+
+def resblock_tail_reference(
+    h, x_skip, temb_proj, w1, b1, gn2_scale, gn2_bias, w2, b2,
+    w_skip, b_skip, *, num_groups2: int, eps: float = 1e-6,
+    skip_rescale: bool = True,
+):
+    """Unfused XLA composition of the tail (correctness oracle)."""
+    from gddim_tpu.ops.groupnorm import group_norm_silu_reference
+
+    y = jax.lax.conv_general_dilated(
+        h, jnp.asarray(w1, h.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(b1, h.dtype) + jnp.asarray(temb_proj, h.dtype)[:, None, None, :]
+    y = group_norm_silu_reference(y, gn2_scale, gn2_bias, num_groups2, eps)
+    y = jax.lax.conv_general_dilated(
+        y, jnp.asarray(w2, h.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(b2, h.dtype)
+    skip = jnp.einsum("bhwc,cd->bhwd", x_skip, jnp.asarray(w_skip, x_skip.dtype))
+    if b_skip is not None:
+        skip = skip + jnp.asarray(b_skip, x_skip.dtype)
+    out = skip + y
+    if skip_rescale:
+        out = out * _INV_SQRT2
+    return out
 
 
 def resblock_reference(

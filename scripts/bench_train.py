@@ -1,0 +1,99 @@
+"""Flagship training-step throughput + MFU on the real chip.
+
+Methodology per PERF.md: n_jitted_steps scanned INSIDE one jit (the tunnel
+costs ~1.1 ms/dispatch), sync by fetching the in-graph scalar loss. FLOPs
+are exact from XLA cost_analysis on the compiled step. MFU is reported
+against the chip's measured bf16 matmul peak (159 TF/s, PERF.md) and the
+v5e nominal 197 TF/s.
+
+Usage: PYTHONPATH=.:$PYTHONPATH python scripts/bench_train.py [cfgs...]
+  cfg = dtype[,remat][,b<batch>]   e.g. bf16,remat,b128
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STEPS = 8  # n_jitted_steps per dispatch
+MEASURED_PEAK = 159e12
+NOMINAL_PEAK = 197e12
+
+
+def build(dtype: str, remat: bool, batch: int):
+    from gddim_tpu.configs import get_config
+    from gddim_tpu.math.cld import CLD
+    from gddim_tpu.models import init_model
+    from gddim_tpu.train import create_train_state, make_cld_loss_fn, make_train_step
+
+    cfg = get_config("cld/accr_dcifar10")
+    cfg.model.dtype = dtype
+    cfg.model.remat = remat
+    cfg.training.n_jitted_steps = STEPS
+    cfg.training.batch_size = batch
+    rng = jax.random.PRNGKey(0)
+    model, mstate, params = init_model(rng, cfg)
+    sde = CLD.from_config(cfg)
+    state = create_train_state(jax.random.PRNGKey(1), cfg, params, mstate)
+    loss_fn = make_cld_loss_fn(sde, model, train=True)
+    step = make_train_step(cfg, loss_fn, mesh=None)
+    batch_data = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).normal(size=(STEPS, batch, 32, 32, 3)),
+            jnp.float32,
+        )
+    }
+    return step, state, batch_data
+
+
+def bench(step, state, batch_data, reps=3):
+    new_state, info = step(state, batch_data)
+    _ = float(np.asarray(info["score_loss"]))
+    t0 = time.time()
+    st = state
+    for _ in range(reps):
+        st, info = step(st, batch_data)
+    _ = float(np.asarray(info["score_loss"]))
+    dt = (time.time() - t0) / (reps * STEPS)
+    return dt
+
+
+def main():
+    cfgs = sys.argv[1:] or ["f32,b64", "bf16,b64", "bf16,remat,b128", "bf16,remat,b256"]
+    for spec in cfgs:
+        parts = spec.split(",")
+        dtype = {"f32": "float32", "bf16": "bfloat16"}[parts[0]]
+        remat = "remat" in parts
+        batch = next((int(p[1:]) for p in parts if p.startswith("b")), 64)
+        try:
+            step, state, batch_data = build(dtype, remat, batch)
+            # exact per-dispatch FLOPs from the compiled program
+            try:
+                ca = (
+                    jax.jit(step)
+                    .lower(state, batch_data)
+                    .compile()
+                    .cost_analysis()
+                )
+                if isinstance(ca, list):
+                    ca = ca[0]
+                flops_per_step = float(ca["flops"]) / STEPS
+            except Exception:
+                flops_per_step = float("nan")
+            dt = bench(step, state, batch_data)
+        except Exception as e:
+            print(f"{spec}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
+        tfs = flops_per_step / dt / 1e12
+        print(
+            f"{spec}: {dt*1e3:7.2f} ms/step  {batch/dt:7.1f} img/s  "
+            f"{tfs:6.1f} TF/s  MFU {tfs*1e12/MEASURED_PEAK*100:4.1f}% of measured "
+            f"({tfs*1e12/NOMINAL_PEAK*100:4.1f}% of nominal)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -229,3 +229,30 @@ def test_blur_factory_dispatch_deis():
         assert x.shape == (4, 8, 8, 1)
         assert nfe == 6
         assert np.isfinite(np.asarray(x)).all()
+
+
+def test_dct_fft_impl_matches_matmul_and_scipy(rng):
+    """The reference-style FFT DCT path (DCT_IMPL='fft', the x1-baseline
+    implementation for bench.py --family blur) agrees with scipy and with the
+    production matmul path, including odd sizes and the inverse."""
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ref = scipy.fft.dctn(x.astype(np.float64), type=2, axes=(1, 2), norm="ortho")
+    mat = np.asarray(dct.dct2(jnp.asarray(x)))
+    old = dct.DCT_IMPL
+    try:
+        dct.DCT_IMPL = "fft"
+        fft = np.asarray(dct.dct2(jnp.asarray(x)))
+        back = np.asarray(dct.idct2(jnp.asarray(fft)))
+        x5 = rng.normal(size=(1, 5, 7, 2)).astype(np.float32)
+        r5 = scipy.fft.dctn(
+            x5.astype(np.float64), type=2, axes=(1, 2), norm="ortho"
+        )
+        g5 = np.asarray(dct.dct2(jnp.asarray(x5)))
+        b5 = np.asarray(dct.idct2(jnp.asarray(g5)))
+    finally:
+        dct.DCT_IMPL = old
+    np.testing.assert_allclose(fft, ref, atol=5e-5)
+    np.testing.assert_allclose(fft, mat, atol=5e-5)
+    np.testing.assert_allclose(back, x, atol=5e-5)
+    np.testing.assert_allclose(g5, r5, atol=5e-5)
+    np.testing.assert_allclose(b5, x5, atol=5e-5)

@@ -376,6 +376,70 @@ def test_fused_resblock_matches_reference(rng):
     np.testing.assert_allclose(got2, ref2, rtol=5e-4, atol=5e-4)
 
 
+def test_fused_resblock_tail_matches_reference(rng):
+    """The transition-block tail kernel (conv1+temb+GN2+SiLU+conv2+conv1x1
+    skip) == the unfused composition, f32 exact and int8 within budget."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.resblock import fused_resblock_tail, resblock_tail_reference
+
+    B, H, C, C2 = 2, 8, 128, 256
+    h = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    xs = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, C2)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C2, C2)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    kw = dict(num_groups2=32, skip_rescale=True)
+    args = (h, xs, temb, w1, b1, g2s, g2b, w2, b2, ws, bs)
+    ref = np.asarray(resblock_tail_reference(*args, **kw))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_resblock_tail(*args, mm_dtype=jnp.float32, **kw))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+    with pltpu.force_tpu_interpret_mode():
+        got8 = np.asarray(fused_resblock_tail(*args, mm_dtype=jnp.int8, **kw))
+    rel = np.abs(got8 - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_biggan_updown_block_fused_tail_matches_normal(rng):
+    """ResnetBlockBigGANpp with up/down under conv_impl='fused' (the fused
+    tail path) matches the composable-module path on identical params."""
+    import flax.linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import ResnetBlockBigGANpp
+    from gddim_tpu.ops import resblock as rb
+
+    temb = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    for up, down, fir in [(True, False, True), (False, True, True), (False, True, False)]:
+        block = ResnetBlockBigGANpp(
+            act=nn.swish, dropout=0.0, up=up, down=down, fir=fir
+        )
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+        params = block.init({"params": jax.random.PRNGKey(0)}, x, temb, train=False)
+        ref = np.asarray(block.apply(params, x, temb, train=False))
+        old_impl, old_sup, old_mm = layers.CONV3X3_IMPL, rb.supported, rb.MM_DTYPE
+        try:
+            layers.CONV3X3_IMPL = "fused"
+            rb.MM_DTYPE = jnp.float32
+            rb.supported = lambda shape, cout: (
+                shape[-1] % 128 == 0 and cout % 128 == 0
+            )
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(block.apply(params, x, temb, train=False))
+        finally:
+            layers.CONV3X3_IMPL, rb.supported, rb.MM_DTYPE = old_impl, old_sup, old_mm
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 2e-3, (up, down, fir, rel)
+
+
 def test_biggan_block_fused_impl_matches_normal(rng):
     """ResnetBlockBigGANpp under conv_impl='fused' (whole-block Pallas
     kernel) matches the composable-module path on identical params, for both
@@ -461,6 +525,13 @@ def test_fused_attnblock_matches_reference(rng):
         got = np.asarray(fused_attnblock(*args, mm_dtype=jnp.float32, **kw))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
+    # int8 NIN projections: per-sample in-kernel activation quantization,
+    # output within the compounded quantization budget of the f32 oracle
+    with pltpu.force_tpu_interpret_mode():
+        got8 = np.asarray(fused_attnblock(*args, mm_dtype=jnp.int8, **kw))
+    rel = np.abs(got8 - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
 
 def test_attnblock_module_fused_impl_matches_normal(rng):
     """AttnBlockpp under conv_impl='fused' matches the composable path."""
@@ -534,3 +605,86 @@ def test_conv_int8_training_safe_fallback(rng):
         sum(jnp.sum(jnp.abs(leaf)) for leaf in jax.tree.leaves(g))
     )
     assert gn > 0.0
+
+
+def test_static_scale_calibration_attnblock(rng):
+    """Calibration pass sows qscales; the fused int8 static-scale path then
+    matches the unfused reference within the int8 budget."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import AttnBlockpp
+    from gddim_tpu.ops import attnblock as ab
+
+    block = AttnBlockpp(skip_rescale=True)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)).astype(np.float32))
+    params = block.init({"params": jax.random.PRNGKey(0)}, x)
+    ref = np.asarray(block.apply(params, x, train=False))
+
+    old_impl, old_sup = layers.CONV3X3_IMPL, ab.supported
+    try:
+        layers.CONV3X3_IMPL = "fused_int8"
+        ab.supported = lambda shape: shape[-1] % 128 == 0
+        # calibration: mutable qscales gates the fused path off and sows
+        out_cal, mut = block.apply(
+            params, x, train=False, mutable=["qscales"]
+        )
+        qs = mut["qscales"]
+        flat = jax.tree.leaves(qs)
+        assert len(flat) == 2 and all(float(v) > 0 for v in flat)
+        np.testing.assert_allclose(np.asarray(out_cal), ref, rtol=2e-5, atol=2e-5)
+        # inference with merged qscales -> static-scale int8 kernel
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                block.apply(dict(params, qscales=qs), x, train=False)
+            )
+    finally:
+        layers.CONV3X3_IMPL, ab.supported = old_impl, old_sup
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_static_scale_calibration_biggan_block(rng):
+    """BigGAN res-block (plain, projected-skip, and down-transition) under
+    calibrated static int8 scales matches the composable path."""
+    import flax.linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import ResnetBlockBigGANpp
+    from gddim_tpu.ops import resblock as rb
+
+    temb = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    cases = [
+        dict(out_ch=None, down=False),
+        dict(out_ch=256, down=False),
+        dict(out_ch=None, down=True, fir=True),
+    ]
+    for case in cases:
+        block = ResnetBlockBigGANpp(act=nn.swish, dropout=0.0, **case)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+        params = block.init({"params": jax.random.PRNGKey(0)}, x, temb, train=False)
+        ref = np.asarray(block.apply(params, x, temb, train=False))
+        old_impl, old_sup = layers.CONV3X3_IMPL, rb.supported
+        try:
+            layers.CONV3X3_IMPL = "fused_int8"
+            rb.supported = lambda shape, cout: (
+                shape[-1] % 128 == 0 and cout % 128 == 0
+            )
+            out_cal, mut = block.apply(
+                params, x, temb, train=False, mutable=["qscales"]
+            )
+            qs = mut["qscales"]
+            np.testing.assert_allclose(
+                np.asarray(out_cal), ref, rtol=2e-5, atol=2e-5
+            )
+            expected_sites = 3 if (case.get("out_ch") or case.get("down")) else 2
+            assert len(jax.tree.leaves(qs)) == expected_sites, qs
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(
+                    block.apply(dict(params, qscales=qs), x, temb, train=False)
+                )
+        finally:
+            layers.CONV3X3_IMPL, rb.supported = old_impl, old_sup
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 0.06, (case, rel)
