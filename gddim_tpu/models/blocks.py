@@ -200,6 +200,8 @@ class ResnetBlockDDPMpp(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None, train=True):
+        if isinstance(x, (tuple, list)):  # up-path (h, skip) pair
+            x = jnp.concatenate(x, axis=-1)
         _, _, _, c = x.shape
         out_ch = self.out_ch or c
         # whole-block fusion: same kernel as the BigGAN block (the DDPM block
@@ -293,7 +295,17 @@ class ResnetBlockBigGANpp(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None, train=True):
-        _, _, _, c = x.shape
+        # x may arrive as a (h, skip) pair from the U-Net up path: the fused
+        # inference path consumes the two refs directly (concatenating before
+        # a pallas_call materializes ~2x the activation in HBM, the call
+        # being a fusion barrier); every other path concatenates here.
+        parts = x if isinstance(x, (tuple, list)) else None
+        if parts is not None:
+            c = parts[0].shape[-1] + parts[1].shape[-1]
+            x_shape = parts[0].shape[:-1] + (c,)
+        else:
+            c = x.shape[-1]
+            x_shape = x.shape
         out_ch = self.out_ch or c
         # whole-block fusion (conv_impl='fused', inference): one Pallas kernel
         # runs GN+SiLU+conv+temb+GN+SiLU+conv+skip with the sample resident in
@@ -312,7 +324,15 @@ class ResnetBlockBigGANpp(nn.Module):
             and temb is not None
             and self.act is nn.swish
             and not self.is_initializing()
-            and resblock_ops.supported(x.shape, out_ch)
+            and resblock_ops.supported(x_shape, out_ch)
+            and (
+                parts is None
+                or (
+                    c != out_ch
+                    and parts[0].shape[-1] % 128 == 0
+                    and parts[1].shape[-1] % 128 == 0
+                )
+            )
         ):
             vs = self.variables["params"]
             temb_proj = (
@@ -324,13 +344,7 @@ class ResnetBlockBigGANpp(nn.Module):
             if c != out_ch:
                 w_skip = vs["Conv_2"]["kernel"][0, 0]
                 b_skip = vs["Conv_2"]["bias"]
-            return resblock_ops.fused_resblock(
-                x, temb_proj,
-                vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
-                vs["Conv_0"]["kernel"], vs["Conv_0"]["bias"],
-                vs["GroupNorm_1"]["scale"], vs["GroupNorm_1"]["bias"],
-                vs["Conv_1"]["kernel"], vs["Conv_1"]["bias"],
-                w_skip, b_skip,
+            kw = dict(
                 num_groups1=min(c // 4, 32),
                 num_groups2=min(out_ch // 4, 32),
                 skip_rescale=self.skip_rescale,
@@ -342,6 +356,23 @@ class ResnetBlockBigGANpp(nn.Module):
                     self, "a1", "a2", "x" if c != out_ch else None
                 ),
             )
+            block_params = (
+                vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
+                vs["Conv_0"]["kernel"], vs["Conv_0"]["bias"],
+                vs["GroupNorm_1"]["scale"], vs["GroupNorm_1"]["bias"],
+                vs["Conv_1"]["kernel"], vs["Conv_1"]["bias"],
+            )
+            if parts is not None:
+                return resblock_ops.fused_resblock_pair(
+                    parts[0], parts[1], temb_proj, *block_params,
+                    w_skip, b_skip, **kw,
+                )
+            return resblock_ops.fused_resblock(
+                x, temb_proj, *block_params, w_skip, b_skip, **kw
+            )
+
+        if parts is not None:  # every non-pair path consumes the concat
+            x = jnp.concatenate(parts, axis=-1)
 
         # up/down transition blocks: GN1+SiLU and the FIR resample run at the
         # pre/post-resample resolutions, then the remainder (conv1+temb+GN2+

@@ -234,8 +234,12 @@ class NCSNpp(nn.Module):
         # --- upsampling path ----------------------------------------------------
         for i_level in reversed(range(num_resolutions)):
             for _ in range(num_res_blocks + 1):
+                # (h, skip) passed as a pair: the fused inference path reads
+                # the two refs directly instead of materializing the concat
+                # in HBM (gddim_tpu/models/blocks.py); all other paths
+                # concatenate inside the block, so params/semantics match.
                 h = ResnetBlock(out_ch=nf * ch_mult[i_level])(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train
+                    (h, hs.pop()), temb, train
                 )
             if h.shape[1] in attn_resolutions:
                 h = AttnBlock()(h, train=train)

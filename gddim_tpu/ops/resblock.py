@@ -362,6 +362,233 @@ def fused_resblock(
     return out.reshape(b, h, w_, cout)
 
 
+def _resblock_pair_kernel(
+    xa_ref, xb_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref,
+    w1sc_ref, gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
+    wskip_ref, bskip_ref, wsksc_ref, *rest,
+    bt, h, w, c1, c2, cout, inv_n1, inv_n2, eps, rescale, mm_dtype,
+    static_scales=False,
+):
+    """Two-input variant of _resblock_kernel for the U-Net up path: the block
+    input is logically concat(xa, xb) along channels, but concatenating
+    before a pallas_call materializes ~2x the activation in HBM (the call is
+    a fusion barrier). Here the two refs are read directly; GN1 statistics
+    assemble from per-part row sums, conv1 consumes the two halves of the
+    padded buffer, and the skip projection runs as two matmuls against the
+    row-split w_skip. The skip is always projected (up-path C > C_out).
+    """
+    rest = list(rest)
+    qs_ref = rest.pop(0) if static_scales else None
+    o_ref, hpad_ref, hpad2_ref = rest
+    int8 = mm_dtype == jnp.int8
+    n = h * w
+    cin = c1 + c2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_borders():
+        hpad_ref[...] = jnp.zeros_like(hpad_ref)
+        hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+
+    # --- GN1 + SiLU over the logical concat, per sample --------------------
+    s1s = []
+    for s in range(bt):
+        xa = xa_ref[s].astype(jnp.float32)  # (n, c1)
+        xb = xb_ref[s].astype(jnp.float32)  # (n, c2)
+        s_row = jnp.concatenate(
+            [jnp.sum(xa, 0, keepdims=True), jnp.sum(xb, 0, keepdims=True)], 1
+        )
+        sq_row = jnp.concatenate(
+            [jnp.sum(xa * xa, 0, keepdims=True), jnp.sum(xb * xb, 0, keepdims=True)], 1
+        )
+        mean = jax.lax.dot(s_row, p1_ref[...], preferred_element_type=jnp.float32) * inv_n1
+        esq = jax.lax.dot(sq_row, p1_ref[...], preferred_element_type=jnp.float32) * inv_n1
+        rstd = jax.lax.rsqrt(esq - mean * mean + eps)
+        oa = (xa - mean[:, :c1]) * rstd[:, :c1] * gn1s_ref[0, :c1] + gn1b_ref[0, :c1]
+        ob = (xb - mean[:, c1:]) * rstd[:, c1:] * gn1s_ref[0, c1:] + gn1b_ref[0, c1:]
+        oa = oa * jax.nn.sigmoid(oa)
+        ob = ob * jax.nn.sigmoid(ob)
+        if int8:
+            if static_scales:
+                inv_s1 = qs_ref[0, 0]
+            else:
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(oa)), jnp.maximum(jnp.max(jnp.abs(ob)), 1e-12)
+                )
+                s1s.append(amax / 127.0)
+                inv_s1 = 127.0 / amax
+            oa = jnp.clip(jnp.round(oa * inv_s1), -127, 127).astype(jnp.int8)
+            ob = jnp.clip(jnp.round(ob * inv_s1), -127, 127).astype(jnp.int8)
+        hpad_ref[s, 1 : h + 1, 1 : w + 1, :c1] = oa.reshape(h, w, c1).astype(hpad_ref.dtype)
+        hpad_ref[s, 1 : h + 1, 1 : w + 1, c1:] = ob.reshape(h, w, c2).astype(hpad_ref.dtype)
+
+    # --- conv1 (batched) + bias + temb, GN2 + SiLU per sample --------------
+    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
+    s2s = []
+    for s in range(bt):
+        acc_s = acc[s * n : (s + 1) * n].astype(jnp.float32)
+        if int8:
+            acc_s = acc_s * (w1sc_ref[0] if static_scales else s1s[s] * w1sc_ref[0])
+        acc_s = acc_s + b1_ref[0] + temb_ref[s, 0:1, :]
+        a2 = _gn_silu_2d(acc_s, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps)
+        if int8:
+            if static_scales:
+                a2 = _quant_2d_static(a2, qs_ref[0, 1])
+            else:
+                a2, sc2 = _quant_2d(a2)
+                s2s.append(sc2)
+        hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2.reshape(h, w, cout).astype(
+            hpad2_ref.dtype
+        )
+
+    # --- conv2 (batched) + epilogue: bias + split skip + residual ----------
+    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
+    for s in range(bt):
+        h_s = acc2[s * n : (s + 1) * n].astype(jnp.float32)
+        if int8:
+            h_s = h_s * (w2sc_ref[0] if static_scales else s2s[s] * w2sc_ref[0])
+        h_s = h_s + b2_ref[0]
+        xa = xa_ref[s].astype(jnp.float32)
+        xb = xb_ref[s].astype(jnp.float32)
+        if int8:
+            if static_scales:
+                inv_sx = qs_ref[0, 2]
+                xdq = wsksc_ref[0]
+            else:
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(xa)), jnp.maximum(jnp.max(jnp.abs(xb)), 1e-12)
+                )
+                inv_sx = 127.0 / amax
+                xdq = (amax / 127.0) * wsksc_ref[0]
+            qa = jnp.clip(jnp.round(xa * inv_sx), -127, 127).astype(jnp.int8)
+            qb = jnp.clip(jnp.round(xb * inv_sx), -127, 127).astype(jnp.int8)
+            sk = jax.lax.dot_general(
+                qa, wskip_ref[:c1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + jax.lax.dot_general(
+                qb, wskip_ref[c1:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            skip = sk.astype(jnp.float32) * xdq + bskip_ref[0]
+        else:
+            skip = jax.lax.dot_general(
+                xa.astype(mm_dtype), wskip_ref[:c1].astype(mm_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                xb.astype(mm_dtype), wskip_ref[c1:].astype(mm_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bskip_ref[0]
+        out = skip + h_s
+        if rescale:
+            out = out * _INV_SQRT2
+        o_ref[s] = out.astype(o_ref.dtype)
+
+
+def fused_resblock_pair(
+    xa, xb, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias,
+    w2, b2, w_skip, b_skip, *, num_groups1: int, num_groups2: int,
+    eps: float = 1e-6, skip_rescale: bool = True, mm_dtype=None,
+    act_scales=None,
+):
+    """fused_resblock on a logical concat(xa, xb) input without materializing
+    the concat in HBM (see _resblock_pair_kernel). w_skip: (c1+c2, Cout)."""
+    mm_dtype = mm_dtype or MM_DTYPE
+    int8 = mm_dtype == jnp.int8
+    static = bool(int8 and act_scales is not None)
+    b, h, w_, c1 = xa.shape
+    c2 = xb.shape[-1]
+    assert xb.shape == (b, h, w_, c2)
+    cin = c1 + c2
+    cout = w1.shape[-1]
+    bt = _pick_bt(b, h, w_, cin, cout)
+
+    def prep_w(wm, shape):
+        wm = jnp.asarray(wm, jnp.float32).reshape(shape)
+        if not int8:
+            return (
+                wm.astype(jnp.bfloat16 if mm_dtype == jnp.bfloat16 else wm.dtype),
+                jnp.ones((1, shape[-1]), jnp.float32),
+            )
+        axes = tuple(range(wm.ndim - 1))
+        sc = jnp.maximum(jnp.abs(wm).max(axis=axes), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(wm / sc), -127, 127).astype(jnp.int8)
+        return q, sc.reshape(1, -1)
+
+    inv_n1 = 1.0 / (h * w_ * (cin // num_groups1))
+    inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
+    kernel = functools.partial(
+        _resblock_pair_kernel,
+        bt=bt, h=h, w=w_, c1=c1, c2=c2, cout=cout, inv_n1=inv_n1,
+        inv_n2=inv_n2, eps=eps, rescale=skip_rescale, mm_dtype=mm_dtype,
+        static_scales=static,
+    )
+    row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    w1_op, w1_sc = prep_w(w1, (9, cin, cout))
+    w2_op, w2_sc = prep_w(w2, (9, cout, cout))
+    wsk_op, wsk_sc = prep_w(w_skip, (cin, cout))
+    if static:
+        s1, s2, sx = act_scales
+        assert sx is not None
+        w1_sc = w1_sc * s1
+        w2_sc = w2_sc * s2
+        wsk_sc = wsk_sc * sx
+    temb_b = jnp.broadcast_to(
+        jnp.asarray(temb_proj, jnp.float32)[:, None, :], (b, 8, cout)
+    )
+    args = [
+        xa.reshape(b, h * w_, c1),
+        xb.reshape(b, h * w_, c2),
+        temb_b,
+        row(gn1_scale), row(gn1_bias), _group_indicator(cin, num_groups1),
+        w1_op, row(b1), w1_sc,
+        row(gn2_scale), row(gn2_bias), _group_indicator(cout, num_groups2),
+        w2_op, row(b2), w2_sc,
+        wsk_op,
+        (row(b_skip) if b_skip is not None else jnp.zeros((1, cout), jnp.float32)),
+        wsk_sc,
+    ]
+    if static:
+        args.append(_qs_row(act_scales))
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec(
+                (bt, h * w_, c1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bt, h * w_, c2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bt, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            const((1, cin)), const((1, cin)), const((cin, cin)),
+            const((9, cin, cout)), const((1, cout)), const((1, cout)),
+            const((1, cout)), const((1, cout)), const((cout, cout)),
+            const((9, cout, cout)), const((1, cout)), const((1, cout)),
+            const((cin, cout)), const((1, cout)), const((1, cout)),
+        ] + ([const((1, 128))] if static else []),
+        out_specs=pl.BlockSpec(
+            (bt, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h * w_, cout), xa.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, h + 2, w_ + 2, cin), mm_dtype),
+            pltpu.VMEM((bt, h + 2, w_ + 2, cout), mm_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w_ * 9 * (cin * cout + cout * cout),
+            bytes_accessed=b * h * w_ * (cin + cout) * xa.dtype.itemsize,
+            transcendentals=2 * b * h * w_ * (cin + cout),
+        ),
+    )(*args)
+    return out.reshape(b, h, w_, cout)
+
+
 def fused_resblock_tail(
     h, x_skip, temb_proj, w1, b1, gn2_scale, gn2_bias, w2, b2,
     w_skip, b_skip, *, num_groups2: int, eps: float = 1e-6,

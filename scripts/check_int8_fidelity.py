@@ -24,9 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_sampler(config, conv_impl, workdir, ckpt):
+def build_sampler(config, conv_impl, workdir, ckpt, static=False):
     from gddim_tpu import run_lib
     from gddim_tpu.math.cld import CLD
+    from gddim_tpu.models import calibrate as cal
     from gddim_tpu.models import init_model, make_cld_eps_fn
     from gddim_tpu.samplers.factory import build_cld_sampler
 
@@ -37,13 +38,18 @@ def build_sampler(config, conv_impl, workdir, ckpt):
     else:
         model, model_state, params = init_model(jax.random.PRNGKey(0), config)
         variables = {"params": params, **model_state}
+    sde = CLD.from_config(config)
+    if static:
+        qs = cal.calibrate_cld_qscales(
+            config, model, variables, sde, batch=8, nfe=12
+        )
+        variables = dict(variables, qscales=qs)
     variables = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16)
         if hasattr(a, "dtype") and a.dtype == jnp.float32 and a.ndim >= 2
         else a,
         variables,
     )
-    sde = CLD.from_config(config)
     eps_apply = make_cld_eps_fn(sde, model, train=False)
     s = config.data.image_size
     sampler = build_cld_sampler(
@@ -77,8 +83,13 @@ def main():
     from gddim_tpu.configs import get_config
     from gddim_tpu.data.pipelines import _synthetic_images
 
+    variants = [
+        ("bf16_fused", "fused", False),
+        ("int8_dynamic", "fused_int8", False),
+        ("int8_static", "fused_int8", True),
+    ]
     stats = {}
-    for conv in ["fused", "fused_int8"]:
+    for name, conv, static in variants:
         config = get_config(args.config)
         config.model.dtype = "bfloat16"
         config.model.attention_impl = "auto"
@@ -87,31 +98,35 @@ def main():
         config.sampling.deis_order = 2
         config.sampling.ts_order = 2
         config.sampling.noise_removal = True
-        sampler, variables = build_sampler(config, conv, args.workdir, args.ckpt)
+        sampler, variables = build_sampler(
+            config, conv, args.workdir, args.ckpt, static=static
+        )
         rounds = []
         for r in range(args.rounds):
             x, v, nfe = sampler(jax.random.PRNGKey(7 + r), variables, args.batch)
             rounds.append(np.asarray(x, np.float32))
-        stats[conv] = np.concatenate(rounds, 0)
-        print(f"{conv}: {stats[conv].shape[0]} samples", flush=True)
+        stats[name] = np.concatenate(rounds, 0)
+        print(f"{name}: {stats[name].shape[0]} samples", flush=True)
 
-    a, b = stats["fused"], stats["fused_int8"]
-    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
-    print(f"pixel corr bf16-vs-int8: {corr:.5f}")
-    print(f"mean: {a.mean():.4f} vs {b.mean():.4f}  std: {a.std():.4f} vs {b.std():.4f}")
-    print(f"max abs diff: {np.abs(a - b).max():.4f} (pixels in [0,1])")
-    assert np.isfinite(b).all()
-
-    # distribution-level delta: proxy-FID vs a held-out synthetic corpus
-    # (the corpus the small config trains on uses seed=config.seed; the
-    # held-out set uses an offset seed = the eval-split convention)
+    a = stats["bf16_fused"]
     n_ref = max(256, a.shape[0])
     u8 = lambda z: np.clip(z * 255.0, 0, 255).astype(np.uint8)
     ref = _synthetic_images(config, n_ref, seed=config.seed + 1)
     fid_a = proxy_fid(config, u8(a), ref)
-    fid_b = proxy_fid(config, u8(b), ref)
-    print(f"proxy-FID bf16: {fid_a:.4f}  int8: {fid_b:.4f}  "
-          f"delta: {fid_b - fid_a:+.4f} ({(fid_b-fid_a)/max(fid_a,1e-9)*100:+.2f}%)")
+    print(f"bf16_fused proxy-FID: {fid_a:.4f}")
+    for name in ("int8_dynamic", "int8_static"):
+        b = stats[name]
+        assert np.isfinite(b).all()
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        # distribution-level delta: proxy-FID vs a held-out synthetic corpus
+        # (train corpus uses seed=config.seed; held-out = offset seed)
+        fid_b = proxy_fid(config, u8(b), ref)
+        print(
+            f"{name}: pixel corr {corr:.5f}  max|dx| {np.abs(a-b).max():.4f}  "
+            f"mean {b.mean():.4f} (bf16 {a.mean():.4f})  "
+            f"proxy-FID {fid_b:.4f} (delta {fid_b - fid_a:+.4f}, "
+            f"{(fid_b-fid_a)/max(fid_a,1e-9)*100:+.2f}%)"
+        )
 
 
 if __name__ == "__main__":

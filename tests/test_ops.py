@@ -688,3 +688,97 @@ def test_static_scale_calibration_biggan_block(rng):
             layers.CONV3X3_IMPL, rb.supported = old_impl, old_sup
         rel = np.abs(got - ref).max() / np.abs(ref).max()
         assert rel < 0.06, (case, rel)
+
+
+def test_fused_resblock_pair_matches_concat(rng):
+    """The two-input (concat-free) up-path kernel == fused_resblock on the
+    materialized concat, f32 exact vs the reference, int8 within budget,
+    and static-scale int8 within budget."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.resblock import (
+        act_scales_from_amax, fused_resblock_pair, resblock_reference,
+    )
+
+    B, H, C1, C2, CO = 2, 8, 128, 256, 128
+    C = C1 + C2
+    xa = jnp.asarray(rng.normal(size=(B, H, H, C1)).astype(np.float32))
+    xb = jnp.asarray(rng.normal(size=(B, H, H, C2)).astype(np.float32))
+    x = jnp.concatenate([xa, xb], axis=-1)
+    temb = jnp.asarray(rng.normal(size=(B, CO)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, CO)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, CO, CO)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(C, CO)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    kw = dict(num_groups1=32, num_groups2=32, skip_rescale=True)
+
+    ref = np.asarray(
+        resblock_reference(x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs, **kw)
+    )
+    pair_args = (xa, xb, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_resblock_pair(*pair_args, mm_dtype=jnp.float32, **kw))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+    with pltpu.force_tpu_interpret_mode():
+        got8 = np.asarray(fused_resblock_pair(*pair_args, mm_dtype=jnp.int8, **kw))
+    rel8 = np.abs(got8 - ref).max() / np.abs(ref).max()
+    assert rel8 < 0.05, rel8
+
+    sc = act_scales_from_amax((3.0, 3.0, float(np.abs(np.asarray(x)).max())))
+    with pltpu.force_tpu_interpret_mode():
+        gots = np.asarray(
+            fused_resblock_pair(*pair_args, mm_dtype=jnp.int8, act_scales=sc, **kw)
+        )
+    rels = np.abs(gots - ref).max() / np.abs(ref).max()
+    assert rels < 0.06, rels
+
+
+def test_biggan_block_pair_input_matches_concat_input(rng):
+    """ResnetBlockBigGANpp fed an (h, skip) pair: identical params and output
+    to the concatenated input on the normal path, and the fused pair path
+    matches within kernel tolerance."""
+    import flax.linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import ResnetBlockBigGANpp
+    from gddim_tpu.ops import resblock as rb
+
+    temb = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    block = ResnetBlockBigGANpp(act=nn.swish, dropout=0.0, out_ch=128)
+    xa = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    xb = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    x = jnp.concatenate([xa, xb], axis=-1)
+    params_pair = block.init(
+        {"params": jax.random.PRNGKey(0)}, (xa, xb), temb, train=False
+    )
+    params_cat = block.init({"params": jax.random.PRNGKey(0)}, x, temb, train=False)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a.shape == b.shape, params_pair, params_cat)
+    )
+    ref = np.asarray(block.apply(params_cat, x, temb, train=False))
+    normal_pair = np.asarray(block.apply(params_cat, (xa, xb), temb, train=False))
+    np.testing.assert_allclose(normal_pair, ref, rtol=1e-6, atol=1e-6)
+
+    old_impl, old_sup = layers.CONV3X3_IMPL, rb.supported
+    try:
+        layers.CONV3X3_IMPL = "fused"
+        rb.MM_DTYPE_SAVE = rb.MM_DTYPE
+        rb.MM_DTYPE = jnp.float32
+        rb.supported = lambda shape, cout: (
+            shape[-1] % 128 == 0 and cout % 128 == 0
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(block.apply(params_cat, (xa, xb), temb, train=False))
+    finally:
+        layers.CONV3X3_IMPL, rb.supported = old_impl, old_sup
+        rb.MM_DTYPE = rb.MM_DTYPE_SAVE
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 2e-3, rel

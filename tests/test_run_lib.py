@@ -1,5 +1,6 @@
 """End-to-end integration: train -> checkpoint -> sample -> FID via run_lib/CLI."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -211,3 +212,57 @@ def test_cli_subprocess_smoke(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert (workdir / "metrics.jsonl").exists()
     assert (workdir / "stdout.txt").exists()
+
+
+@pytest.mark.slow
+def test_int8_fused_sampling_fidelity_on_trained_weights(tmp_path):
+    """bf16-fused vs int8-fused sampling agreement on TRAINED weights (the
+    random-init fidelity claim is distribution-dependent; this pins the
+    trained-activation case). Kernels run in interpret mode with the
+    support predicates forced, so the tiny model exercises the real fused
+    code paths on CPU. Real-chip numbers: scripts/check_int8_fidelity.py
+    + PERF.md."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu import run_lib
+    from gddim_tpu.math.cld import CLD
+    from gddim_tpu.models import layers, make_cld_eps_fn
+    from gddim_tpu.ops import attnblock as ab, resblock as rb
+    from gddim_tpu.samplers.factory import build_cld_sampler
+
+    cfg = tiny_image_config()
+    cfg.training.n_iters = 17
+    cfg.training.snapshot_freq = 16
+    workdir = tmp_path / "run"
+    run_lib.train(cfg, str(workdir))
+    model, state = run_lib.restore_state(cfg, 1, str(workdir))
+    variables = run_lib._ema_variables(state)
+    sde = CLD.from_config(cfg)
+    cfg.sampling.method = "deis"
+    cfg.sampling.nfe = 4
+    cfg.sampling.deis_order = 1
+
+    outs = {}
+    old = layers.CONV3X3_IMPL, rb.supported, ab.supported
+    try:
+        rb.supported = lambda shape, cout: True
+        ab.supported = lambda shape: True
+        for impl in ("fused", "fused_int8"):
+            layers.CONV3X3_IMPL = impl
+            eps_apply = make_cld_eps_fn(sde, model, train=False)
+            s = cfg.data.image_size
+            sampler = build_cld_sampler(
+                cfg, sde, eps_apply, (s, s, 3),
+                inverse_scaler=lambda x: (x + 1) / 2,
+            )
+            with pltpu.force_tpu_interpret_mode():
+                x, v, nfe = sampler(jax.random.PRNGKey(3), variables, 8)
+                outs[impl] = np.asarray(x, np.float32)
+    finally:
+        layers.CONV3X3_IMPL, rb.supported, ab.supported = old
+
+    a, b = outs["fused"], outs["fused_int8"]
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.97, corr
+    assert abs(a.mean() - b.mean()) < 0.05, (a.mean(), b.mean())
