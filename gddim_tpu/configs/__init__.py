@@ -17,6 +17,7 @@ _CONFIGS = {
     "cld/ndeep_cifar10": "gddim_tpu.configs.cld.ndeep_cifar10",
     "cld/ddpmpp_cifar10": "gddim_tpu.configs.cld.ddpmpp_cifar10",
     "cld/simple_cifar10": "gddim_tpu.configs.cld.simple_cifar10",
+    "cld/calib_cifar10": "gddim_tpu.configs.cld.calib_cifar10",
     "cld/ddpmpp_celeba": "gddim_tpu.configs.cld.ddpmpp_celeba",
     "cld/points": "gddim_tpu.configs.cld.points",
     # blur package

@@ -129,6 +129,12 @@ class Conv(nn.Module):
                 rhs_dilation=self.kernel_dilation,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+        # tag for selective rematerialization (model.remat='convs'): the
+        # save_only_these_names policy keeps conv outputs resident and
+        # recomputes only the cheap norm/activation chain in the backward
+        from jax.ad_checkpoint import checkpoint_name
+
+        y = checkpoint_name(y, "conv_out")
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             if self.dtype is not None:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import functools
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -156,8 +157,12 @@ class NCSNpp(nn.Module):
             )
 
         # optional rematerialization: recompute res-block activations in the
-        # backward pass (HBM for FLOPs trade, enables larger per-chip batch)
-        remat = bool(getattr(config.model, "remat", False))
+        # backward pass (HBM for FLOPs trade, enables larger per-chip batch).
+        # remat=True: full block recompute. remat='convs': selective — conv
+        # outputs (the FLOP-heavy ops, tagged 'conv_out' in layers.Conv) stay
+        # resident, only the cheap norm/act chain recomputes.
+        remat_cfg = getattr(config.model, "remat", False)
+        remat = bool(remat_cfg)
         if resblock_type == "ddpm":
             block_cls = blk.ResnetBlockDDPMpp
             block_kwargs = dict(
@@ -182,7 +187,12 @@ class NCSNpp(nn.Module):
             raise ValueError(f"resblock type {resblock_type} unrecognized")
         if remat:
             orig_name = block_cls.__name__
-            block_cls = nn.remat(block_cls, static_argnums=(3,))
+            remat_kw = {}
+            if str(remat_cfg) == "convs":
+                remat_kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"
+                )
+            block_cls = nn.remat(block_cls, static_argnums=(3,), **remat_kw)
             # keep the original scope name so the parameter tree (and thus
             # checkpoints) are identical with remat on or off
             block_cls.__name__ = orig_name

@@ -223,11 +223,14 @@ def attnblock_reference(
 
 
 def supported(x_shape) -> bool:
+    # n >= 8 keeps the (n, c) tiles on whole sublanes; small n (the 4x4
+    # middle block, n=16) pads within Mosaic's layouts and still wins by
+    # keeping the block's ~6 HBM round-trips in VMEM.
     b, h, w, c = x_shape
     n = h * w
     return (
         jax.default_backend() == "tpu"
         and c % 128 == 0
-        and n % 128 == 0
+        and n % 8 == 0
         and (3 * n * c + n * n + n * c) * 4 + 5 * c * c * 4 < 8 * 2**20
     )

@@ -69,9 +69,13 @@ def _quant_2d_static(a, inv_s):
     return jnp.clip(jnp.round(a * inv_s), -127, 127).astype(jnp.int8)
 
 
-# margin applied to calibrated amaxes: sampling-time activations may slightly
-# exceed the calibration sweep's
-CALIB_MARGIN = 1.1
+# margin applied to calibrated amaxes: sampling-time activations exceed the
+# calibration sweep's by up to ~1.35x on trained weights (measured: order0
+# nfe=12 batch=8 calibration vs nfe=50 batch=64 capture on the trained calib
+# checkpoint — worst site ratio 1.354). Clipped eps predictions feed back
+# through the ODE and compound over the trajectory, so under-coverage costs
+# far more fidelity than the ~0.4 bit of int8 range the margin spends.
+CALIB_MARGIN = 1.5
 
 
 def act_scales_from_amax(amaxes):

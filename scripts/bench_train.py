@@ -22,7 +22,7 @@ MEASURED_PEAK = 159e12
 NOMINAL_PEAK = 197e12
 
 
-def build(dtype: str, remat: bool, batch: int):
+def build(dtype: str, remat, batch: int):
     from gddim_tpu.configs import get_config
     from gddim_tpu.math.cld import CLD
     from gddim_tpu.models import init_model
@@ -61,15 +61,26 @@ def bench(step, state, batch_data, reps=3):
 
 
 def main():
-    cfgs = sys.argv[1:] or ["f32,b64", "bf16,b64", "bf16,remat,b128", "bf16,remat,b256"]
+    cfgs = sys.argv[1:] or [
+        "bf16,b128",
+        "bf16,remat,b128",
+        "bf16,sremat,b128",
+        "bf16,sremat,b256",
+    ]
     for spec in cfgs:
         parts = spec.split(",")
         dtype = {"f32": "float32", "bf16": "bfloat16"}[parts[0]]
-        remat = "remat" in parts
-        batch = next((int(p[1:]) for p in parts if p.startswith("b")), 64)
+        # sremat = selective: save conv outputs, recompute norm/act only
+        remat = "convs" if "sremat" in parts else ("remat" in parts)
+        batch = next(
+            (int(p[1:]) for p in parts if p.startswith("b") and p[1:].isdigit()), 64
+        )
         try:
             step, state, batch_data = build(dtype, remat, batch)
-            # exact per-dispatch FLOPs from the compiled program
+            # exact per-step FLOPs from the compiled program. XLA cost
+            # analysis counts a while-loop body ONCE (not x trip count), so
+            # the scanned dispatch already reports per-step body flops; do
+            # NOT divide by STEPS again.
             try:
                 ca = (
                     jax.jit(step)
@@ -79,7 +90,7 @@ def main():
                 )
                 if isinstance(ca, list):
                     ca = ca[0]
-                flops_per_step = float(ca["flops"]) / STEPS
+                flops_per_step = float(ca["flops"])
             except Exception:
                 flops_per_step = float("nan")
             dt = bench(step, state, batch_data)

@@ -782,3 +782,31 @@ def test_biggan_block_pair_input_matches_concat_input(rng):
         rb.MM_DTYPE = rb.MM_DTYPE_SAVE
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 2e-3, rel
+
+
+def test_fused_attnblock_small_n_middle_block(rng):
+    """The 4x4 middle block (n=16 tokens) is now fused-eligible; the kernel
+    must match the reference at this shape too."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.attnblock import attnblock_reference, fused_attnblock
+
+    B, H, C = 2, 4, 256
+    x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    gs = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    gb = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    args = [x, gs, gb]
+    for _ in range(4):
+        args += [
+            jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.1),
+            jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32)),
+        ]
+    kw = dict(num_groups=32, skip_rescale=True)
+    ref = np.asarray(attnblock_reference(*args, **kw))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_attnblock(*args, mm_dtype=jnp.float32, **kw))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+    with pltpu.force_tpu_interpret_mode():
+        got8 = np.asarray(fused_attnblock(*args, mm_dtype=jnp.int8, **kw))
+    rel = np.abs(got8 - ref).max() / np.abs(ref).max()
+    assert rel < 0.06, rel
