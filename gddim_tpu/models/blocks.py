@@ -243,9 +243,9 @@ class ResnetBlockDDPMpp(nn.Module):
                     jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
                     else resblock_ops.MM_DTYPE
                 ),
-                act_scales=_static_scales(
-                    self, "a1", "a2", "x" if c != out_ch else None
-                ),
+                # the "x" skip site quantizes pre-norm activations whose
+                # range is input-dependent — always dynamic (None)
+                act_scales=_static_scales(self, "a1", "a2", None),
             )
 
         # int8 inference: the norm+silu kernel emits the quantized tensor the
@@ -352,9 +352,9 @@ class ResnetBlockBigGANpp(nn.Module):
                     jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
                     else resblock_ops.MM_DTYPE
                 ),
-                act_scales=_static_scales(
-                    self, "a1", "a2", "x" if c != out_ch else None
-                ),
+                # the "x" skip site quantizes pre-norm activations whose
+                # range is input-dependent — always dynamic (None)
+                act_scales=_static_scales(self, "a1", "a2", None),
             )
             block_params = (
                 vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
@@ -421,7 +421,7 @@ class ResnetBlockBigGANpp(nn.Module):
                         jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
                         else resblock_ops.MM_DTYPE
                     ),
-                    act_scales=_static_scales(self, "a1", "a2", "x"),
+                    act_scales=_static_scales(self, "a1", "a2", None),
                 )
 
         # int8 inference: fuse quantization into the norm+silu kernel when

@@ -110,7 +110,7 @@ def _resblock_kernel(
     wskip_ref, bskip_ref, wsksc_ref,
     *rest,
     bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
-    apply_gn1=True, separate_skip=False, static_scales=False,
+    apply_gn1=True, separate_skip=False, static_scales=False, static_skip=True,
 ):
     """bt samples per grid step; all weights + the tiles resident in VMEM.
 
@@ -199,21 +199,23 @@ def _resblock_kernel(
             h_s = h_s * (w2sc_ref[0] if static_scales else s2s[s] * w2sc_ref[0])
         h_s = h_s + b2_ref[0]
         if has_skip:
-            if int8:
-                if static_scales:
-                    xq = _quant_2d_static(x_s, qs_ref[0, 2])
-                    xdq = wsksc_ref[0]
-                else:
-                    xq, sx = _quant_2d(x_s)
-                    xdq = sx * wsksc_ref[0]
+            # the skip site sees PRE-norm activations whose amax is
+            # input-dependent (unlike a1/a2 behind GroupNorm), so static int8
+            # scales are only sound when the caller opts in. Otherwise the
+            # 1x1 projection runs bf16: it is ~1/18 of the block's FLOPs, so
+            # a whole-tile amax+quant+round pass costs more than int8 saves
+            # (wskip_ref then arrives bf16 from the host-side prep).
+            if int8 and static_scales and static_skip:
+                xq = _quant_2d_static(x_s, qs_ref[0, 2])
                 skip = jax.lax.dot_general(
                     xq, wskip_ref[...],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * xdq + bskip_ref[0]
+                ).astype(jnp.float32) * wsksc_ref[0] + bskip_ref[0]
             else:
+                wdt = jnp.bfloat16 if int8 else mm_dtype
                 skip = jax.lax.dot_general(
-                    x_s.astype(mm_dtype), wskip_ref[...].astype(mm_dtype),
+                    x_s.astype(wdt), wskip_ref[...].astype(wdt),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + bskip_ref[0]
@@ -283,36 +285,39 @@ def fused_resblock(
         assert c == cout, (c, cout)
     bt = _pick_bt(b, h, w_, c, cout)
 
-    def prep_w(wm, shape):
+    def prep_w(wm, shape, quant=None):
         """-> (kernel operand, (1,Cout) scale row) for the mm dtype."""
+        quant = int8 if quant is None else quant
         wm = jnp.asarray(wm, jnp.float32).reshape(shape)
-        if not int8:
-            return wm.astype(jnp.bfloat16 if mm_dtype == jnp.bfloat16 else wm.dtype), \
-                jnp.ones((1, shape[-1]), jnp.float32)
+        if not quant:
+            dt = jnp.bfloat16 if (int8 or mm_dtype == jnp.bfloat16) else wm.dtype
+            return wm.astype(dt), jnp.ones((1, shape[-1]), jnp.float32)
         axes = tuple(range(wm.ndim - 1))
         sc = jnp.maximum(jnp.abs(wm).max(axis=axes), 1e-12) / 127.0
         q = jnp.clip(jnp.round(wm / sc), -127, 127).astype(jnp.int8)
         return q, sc.reshape(1, -1)
     inv_n1 = 1.0 / (h * w_ * (c // num_groups1))
     inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
+    static_skip = bool(static and act_scales[2] is not None)
     kernel = functools.partial(
         _resblock_kernel,
         bt=bt, h=h, w=w_, cin=c, cout=cout, inv_n1=inv_n1, inv_n2=inv_n2,
         eps=eps, has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
-        static_scales=static,
+        static_scales=static, static_skip=static_skip,
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     w1_op, w1_sc = prep_w(w1, (9, c, cout))
     w2_op, w2_sc = prep_w(w2, (9, cout, cout))
+    # dynamic-skip int8 mode runs the 1x1 projection bf16 (see the kernel)
     wsk_op, wsk_sc = prep_w(
-        w_skip if has_skip else np.zeros((c, cout), np.float32), (c, cout)
+        w_skip if has_skip else np.zeros((c, cout), np.float32), (c, cout),
+        quant=int8 and static_skip,
     )
     if static:
         s1, s2, sx = act_scales
         w1_sc = w1_sc * s1
         w2_sc = w2_sc * s2
-        if has_skip:
-            assert sx is not None, "projected skip needs a calibrated x scale"
+        if has_skip and static_skip:
             wsk_sc = wsk_sc * sx
     temb_b = jnp.broadcast_to(
         jnp.asarray(temb_proj, jnp.float32)[:, None, :], (b, 8, cout)
@@ -371,7 +376,7 @@ def _resblock_pair_kernel(
     w1sc_ref, gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
     wskip_ref, bskip_ref, wsksc_ref, *rest,
     bt, h, w, c1, c2, cout, inv_n1, inv_n2, eps, rescale, mm_dtype,
-    static_scales=False,
+    static_scales=False, static_skip=True,
 ):
     """Two-input variant of _resblock_kernel for the U-Net up path: the block
     input is logically concat(xa, xb) along channels, but concatenating
@@ -453,16 +458,11 @@ def _resblock_pair_kernel(
         h_s = h_s + b2_ref[0]
         xa = xa_ref[s].astype(jnp.float32)
         xb = xb_ref[s].astype(jnp.float32)
-        if int8:
-            if static_scales:
-                inv_sx = qs_ref[0, 2]
-                xdq = wsksc_ref[0]
-            else:
-                amax = jnp.maximum(
-                    jnp.max(jnp.abs(xa)), jnp.maximum(jnp.max(jnp.abs(xb)), 1e-12)
-                )
-                inv_sx = 127.0 / amax
-                xdq = (amax / 127.0) * wsksc_ref[0]
+        # see _resblock_kernel: static int8 at the (pre-norm) skip site is
+        # opt-in; otherwise run the 1x1 projection bf16 — cheaper than a
+        # whole-tile amax+quant pass for ~1/18 of the block's FLOPs
+        if int8 and static_scales and static_skip:
+            inv_sx = qs_ref[0, 2]
             qa = jnp.clip(jnp.round(xa * inv_sx), -127, 127).astype(jnp.int8)
             qb = jnp.clip(jnp.round(xb * inv_sx), -127, 127).astype(jnp.int8)
             sk = jax.lax.dot_general(
@@ -472,14 +472,15 @@ def _resblock_pair_kernel(
                 qb, wskip_ref[c1:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            skip = sk.astype(jnp.float32) * xdq + bskip_ref[0]
+            skip = sk.astype(jnp.float32) * wsksc_ref[0] + bskip_ref[0]
         else:
+            wdt = jnp.bfloat16 if int8 else mm_dtype
             skip = jax.lax.dot_general(
-                xa.astype(mm_dtype), wskip_ref[:c1].astype(mm_dtype),
+                xa.astype(wdt), wskip_ref[:c1].astype(wdt),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + jax.lax.dot_general(
-                xb.astype(mm_dtype), wskip_ref[c1:].astype(mm_dtype),
+                xb.astype(wdt), wskip_ref[c1:].astype(wdt),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bskip_ref[0]
@@ -507,13 +508,12 @@ def fused_resblock_pair(
     cout = w1.shape[-1]
     bt = _pick_bt(b, h, w_, cin, cout)
 
-    def prep_w(wm, shape):
+    def prep_w(wm, shape, quant=None):
+        quant = int8 if quant is None else quant
         wm = jnp.asarray(wm, jnp.float32).reshape(shape)
-        if not int8:
-            return (
-                wm.astype(jnp.bfloat16 if mm_dtype == jnp.bfloat16 else wm.dtype),
-                jnp.ones((1, shape[-1]), jnp.float32),
-            )
+        if not quant:
+            dt = jnp.bfloat16 if (int8 or mm_dtype == jnp.bfloat16) else wm.dtype
+            return wm.astype(dt), jnp.ones((1, shape[-1]), jnp.float32)
         axes = tuple(range(wm.ndim - 1))
         sc = jnp.maximum(jnp.abs(wm).max(axis=axes), 1e-12) / 127.0
         q = jnp.clip(jnp.round(wm / sc), -127, 127).astype(jnp.int8)
@@ -521,22 +521,24 @@ def fused_resblock_pair(
 
     inv_n1 = 1.0 / (h * w_ * (cin // num_groups1))
     inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
+    static_skip = bool(static and act_scales[2] is not None)
     kernel = functools.partial(
         _resblock_pair_kernel,
         bt=bt, h=h, w=w_, c1=c1, c2=c2, cout=cout, inv_n1=inv_n1,
         inv_n2=inv_n2, eps=eps, rescale=skip_rescale, mm_dtype=mm_dtype,
-        static_scales=static,
+        static_scales=static, static_skip=static_skip,
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     w1_op, w1_sc = prep_w(w1, (9, cin, cout))
     w2_op, w2_sc = prep_w(w2, (9, cout, cout))
-    wsk_op, wsk_sc = prep_w(w_skip, (cin, cout))
+    # dynamic-skip int8 mode runs the 1x1 projection bf16 (see the kernel)
+    wsk_op, wsk_sc = prep_w(w_skip, (cin, cout), quant=int8 and static_skip)
     if static:
         s1, s2, sx = act_scales
-        assert sx is not None
         w1_sc = w1_sc * s1
         w2_sc = w2_sc * s2
-        wsk_sc = wsk_sc * sx
+        if static_skip:
+            wsk_sc = wsk_sc * sx
     temb_b = jnp.broadcast_to(
         jnp.asarray(temb_proj, jnp.float32)[:, None, :], (b, 8, cout)
     )
@@ -616,35 +618,37 @@ def fused_resblock_tail(
     assert x_skip.shape == (b, hh, ww, c), (x_skip.shape, h.shape)
     bt = _pick_bt(b, hh, ww, c, cout)
 
-    def prep_w(wm, shape):
+    def prep_w(wm, shape, quant=None):
+        quant = int8 if quant is None else quant
         wm = jnp.asarray(wm, jnp.float32).reshape(shape)
-        if not int8:
-            return (
-                wm.astype(jnp.bfloat16 if mm_dtype == jnp.bfloat16 else wm.dtype),
-                jnp.ones((1, shape[-1]), jnp.float32),
-            )
+        if not quant:
+            dt = jnp.bfloat16 if (int8 or mm_dtype == jnp.bfloat16) else wm.dtype
+            return wm.astype(dt), jnp.ones((1, shape[-1]), jnp.float32)
         axes = tuple(range(wm.ndim - 1))
         sc = jnp.maximum(jnp.abs(wm).max(axis=axes), 1e-12) / 127.0
         q = jnp.clip(jnp.round(wm / sc), -127, 127).astype(jnp.int8)
         return q, sc.reshape(1, -1)
 
     inv_n2 = 1.0 / (hh * ww * (cout // num_groups2))
+    static_skip = bool(static and act_scales[2] is not None)
     kernel = functools.partial(
         _resblock_kernel,
         bt=bt, h=hh, w=ww, cin=c, cout=cout, inv_n1=1.0, inv_n2=inv_n2,
         eps=eps, has_skip=True, rescale=skip_rescale, mm_dtype=mm_dtype,
         apply_gn1=False, separate_skip=True, static_scales=static,
+        static_skip=static_skip,
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     w1_op, w1_sc = prep_w(w1, (9, c, cout))
     w2_op, w2_sc = prep_w(w2, (9, cout, cout))
-    wsk_op, wsk_sc = prep_w(w_skip, (c, cout))
+    # dynamic-skip int8 mode runs the 1x1 projection bf16 (see the kernel)
+    wsk_op, wsk_sc = prep_w(w_skip, (c, cout), quant=int8 and static_skip)
     if static:
         s1, s2, sx = act_scales
-        assert sx is not None
         w1_sc = w1_sc * s1
         w2_sc = w2_sc * s2
-        wsk_sc = wsk_sc * sx
+        if static_skip:
+            wsk_sc = wsk_sc * sx
     temb_b = jnp.broadcast_to(
         jnp.asarray(temb_proj, jnp.float32)[:, None, :], (b, 8, cout)
     )

@@ -810,3 +810,42 @@ def test_fused_attnblock_small_n_middle_block(rng):
         got8 = np.asarray(fused_attnblock(*args, mm_dtype=jnp.int8, **kw))
     rel = np.abs(got8 - ref).max() / np.abs(ref).max()
     assert rel < 0.06, rel
+
+
+def test_fused_resblock_hybrid_static_dynamic_skip(rng):
+    """act_scales with sx=None: a1/a2 quantize with calibrated static scales
+    while the (input-dependent) skip site stays per-sample dynamic. The
+    output must track the reference even when the input amplitude far
+    exceeds anything a calibration sweep saw."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.resblock import (
+        act_scales_from_amax, fused_resblock, resblock_reference,
+    )
+
+    B, H, C, CO = 2, 8, 256, 128
+    # 5x the "calibrated" input range: a static x scale would clip hard
+    x = 5.0 * jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, CO)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, CO)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, CO, CO)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(C, CO)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    kw = dict(num_groups1=32, num_groups2=32, skip_rescale=True)
+    args = (x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs)
+
+    ref = np.asarray(resblock_reference(*args, **kw))
+    sc = act_scales_from_amax((3.0, 3.0, None))
+    assert sc[2] is None
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_resblock(*args, mm_dtype=jnp.int8, act_scales=sc, **kw)
+        )
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.06, rel
