@@ -1,11 +1,14 @@
 """NCSNv1/v2-era layer library (RefineNet blocks + legacy DDPM layers).
 
 Inventory parity with the reference's layers.py (cld_jax/models/layers.py:
-CRP/RCU/MSF/Refine blocks :117-441, legacy AttnBlock/Upsample/Downsample/
+CRP/RCU/MSF/Refine blocks :117-341 including the noise-conditional NCSNv1
+Cond* variants :135-310, legacy AttnBlock/Upsample/Downsample/
 ResnetBlockDDPM :496-568, ncsn conv initializers :45-104). These are unused by
 the NCSN++ production configs but are part of the model-zoo surface; fresh
 implementations of the standard RefineNet components (Lin et al. 2017) in
-linen, NHWC.
+linen, NHWC. The conditional variants take the per-sample noise-level index
+y and thread it through a conditional normalizer (e.g.
+ConditionalInstanceNorm2dPlus, models/normalization.py).
 """
 
 from __future__ import annotations
@@ -76,33 +79,41 @@ class RCUBlock(nn.Module):
         return x
 
 
+def _msf_resize(h, shape, interpolation):
+    if interpolation not in ("bilinear", "nearest_neighbor"):
+        raise ValueError(f"Interpolation {interpolation} does not exist!")
+    method = "bilinear" if interpolation == "bilinear" else "nearest"
+    return jax.image.resize(
+        h, (h.shape[0], shape[0], shape[1], h.shape[-1]), method
+    )
+
+
 class MSFBlock(nn.Module):
     """Multi-scale fusion: project + resize + sum (reference layers.py:246-277)."""
 
     features: int
     shape: Sequence[int]  # target (H, W)
+    interpolation: str = "bilinear"
 
     @nn.compact
     def __call__(self, xs):
         total = None
         for x in xs:
             h = ncsn_conv(x, self.features, bias=True)
-            h = jax.image.resize(
-                h,
-                (h.shape[0], self.shape[0], self.shape[1], self.features),
-                "bilinear",
-            )
+            h = _msf_resize(h, self.shape, self.interpolation)
             total = h if total is None else total + h
         return total
 
 
 class RefineBlock(nn.Module):
-    """RefineNet block: per-input RCU, MSF fusion, CRP, output RCU
+    """RefineNet block: per-input RCU, MSF fusion (skipped for the start
+    block, which takes its single RCU output as-is), CRP, output RCU
     (reference layers.py:309-341)."""
 
     features: int
     shape: Sequence[int]
     act: Any = nn.relu
+    interpolation: str = "bilinear"
     start: bool = False
     end: bool = False
 
@@ -112,19 +123,118 @@ class RefineBlock(nn.Module):
             RCUBlock(x.shape[-1], n_blocks=2, n_stages=2, act=self.act)(x)
             for x in xs
         ]
-        if len(hs) > 1:
-            h = MSFBlock(self.features, self.shape)(hs)
+        if not self.start:
+            h = MSFBlock(self.features, self.shape, self.interpolation)(hs)
         else:
-            h = ncsn_conv(hs[0], self.features)
-            h = jax.image.resize(
-                h,
-                (h.shape[0], self.shape[0], self.shape[1], self.features),
-                "bilinear",
-            )
+            h = hs[0]
         h = CRPBlock(self.features, n_stages=2, act=self.act)(h)
         return RCUBlock(
             self.features, n_blocks=3 if self.end else 1, n_stages=2, act=self.act
         )(h)
+
+
+class CondCRPBlock(nn.Module):
+    """Noise-conditional chained residual pooling, NCSNv1 (reference
+    layers.py:135-151). Differs from CRPBlock in two ways beyond the
+    normalizer: the pool is AVERAGE (not max), and each stage normalizes
+    its path before pooling."""
+
+    features: int
+    n_stages: int
+    normalizer: Any  # nn.Module factory taking (x, y)
+    act: Any = nn.relu
+
+    @nn.compact
+    def __call__(self, x, y):
+        x = self.act(x)
+        path = x
+        for _ in range(self.n_stages):
+            path = self.normalizer()(path, y)
+            path = nn.avg_pool(
+                path, window_shape=(5, 5), strides=(1, 1), padding="SAME"
+            )
+            path = ncsn_conv(path, self.features, bias=False)
+            x = x + path
+        return x
+
+
+class CondRCUBlock(nn.Module):
+    """Noise-conditional residual conv unit, NCSNv1 (reference
+    layers.py:173-191): each stage runs normalizer -> act -> conv."""
+
+    features: int
+    n_blocks: int
+    n_stages: int
+    normalizer: Any
+    act: Any = nn.relu
+
+    @nn.compact
+    def __call__(self, x, y):
+        for _ in range(self.n_blocks):
+            residual = x
+            for _ in range(self.n_stages):
+                x = self.normalizer()(x, y)
+                x = self.act(x)
+                x = ncsn_conv(x, self.features, bias=False)
+            x = x + residual
+        return x
+
+
+class CondMSFBlock(nn.Module):
+    """Noise-conditional multi-scale fusion, NCSNv1 (reference
+    layers.py:217-241): normalize each input before its projection."""
+
+    features: int
+    shape: Sequence[int]
+    normalizer: Any
+    interpolation: str = "bilinear"
+
+    @nn.compact
+    def __call__(self, xs, y):
+        total = None
+        for x in xs:
+            h = self.normalizer()(x, y)
+            h = ncsn_conv(h, self.features, bias=True)
+            h = _msf_resize(h, self.shape, self.interpolation)
+            total = h if total is None else total + h
+        return total
+
+
+class CondRefineBlock(nn.Module):
+    """Noise-conditional RefineNet block, NCSNv1 (reference
+    layers.py:271-310): the conditional composition of the blocks above,
+    with the same start/end structure as RefineBlock."""
+
+    features: int
+    shape: Sequence[int]
+    normalizer: Any
+    act: Any = nn.relu
+    interpolation: str = "bilinear"
+    start: bool = False
+    end: bool = False
+
+    @nn.compact
+    def __call__(self, xs, y):
+        hs = [
+            CondRCUBlock(
+                x.shape[-1], n_blocks=2, n_stages=2,
+                normalizer=self.normalizer, act=self.act,
+            )(x, y)
+            for x in xs
+        ]
+        if not self.start:
+            h = CondMSFBlock(
+                self.features, self.shape, self.normalizer, self.interpolation
+            )(hs, y)
+        else:
+            h = hs[0]
+        h = CondCRPBlock(
+            self.features, n_stages=2, normalizer=self.normalizer, act=self.act
+        )(h, y)
+        return CondRCUBlock(
+            self.features, n_blocks=3 if self.end else 1, n_stages=2,
+            normalizer=self.normalizer, act=self.act,
+        )(h, y)
 
 
 class LegacyAttnBlock(nn.Module):

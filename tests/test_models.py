@@ -212,6 +212,40 @@ def test_legacy_ncsn_blocks():
     assert out.shape == (2, 16, 16, 64)
 
 
+def test_legacy_ncsnv1_conditional_blocks():
+    """Noise-conditional NCSNv1 RefineNet variants (reference
+    layers.py:135-310): thread the noise-level index y through a
+    conditional normalizer; start block bypasses MSF."""
+    import functools
+
+    from gddim_tpu.models import legacy_blocks as lb
+    from gddim_tpu.models.normalization import ConditionalInstanceNorm2dPlus
+
+    norm = functools.partial(ConditionalInstanceNorm2dPlus, num_classes=10)
+    x = jnp.ones((2, 16, 16, 32))
+    y = jnp.array([1, 7])
+    for mod in [
+        lb.CondCRPBlock(32, 2, norm),
+        lb.CondRCUBlock(32, 2, 2, norm),
+    ]:
+        out, _ = mod.init_with_output(jax.random.PRNGKey(0), x, y)
+        assert out.shape == x.shape
+    xs = [jnp.ones((2, 8, 8, 64)), jnp.ones((2, 16, 16, 32))]
+    out, _ = lb.CondMSFBlock(32, (16, 16), norm).init_with_output(
+        jax.random.PRNGKey(0), xs, y
+    )
+    assert out.shape == (2, 16, 16, 32)
+    out, _ = lb.CondRefineBlock(32, (16, 16), norm).init_with_output(
+        jax.random.PRNGKey(0), xs, y
+    )
+    assert out.shape == (2, 16, 16, 32)
+    # start block: single input, MSF bypassed (h = hs[0], reference :305-307)
+    out, _ = lb.CondRefineBlock(
+        64, (8, 8), norm, start=True
+    ).init_with_output(jax.random.PRNGKey(0), [jnp.ones((2, 8, 8, 64))], y)
+    assert out.shape == (2, 8, 8, 64)
+
+
 @pytest.mark.slow
 def test_wideresnet_classifier_and_guidance():
     from gddim_tpu.models.wideresnet import (
