@@ -2,10 +2,14 @@
 
 The fused kernels (ops/resblock.py, ops/attnblock.py) quantize activations
 per-sample by default, paying an amax reduction per quant site per block
-(~7% of the flagship forward, PERF.md). Because every quant site sits after
-a GroupNorm (or a softmax-convex combination), activation amplitudes are
-nearly input-independent — so a calibrated per-site static scale loses very
-little fidelity and removes all in-kernel amax work.
+(~7% of the flagship forward, PERF.md). Quant sites sitting after a
+GroupNorm (or a softmax-convex combination) have nearly input-independent
+amplitudes — a calibrated per-site static scale loses very little fidelity
+there and removes the in-kernel amax work. The conv1x1-skip sites see
+PRE-norm, input-dependent activations: the model never applies static
+scales to them (models/blocks.py passes sx=None; the kernels run those
+projections per-sample in bf16). The "x" amaxes sown here are therefore
+unused by default — kept for callers who opt into fully-static kernels.
 
 Calibration runs the UNFUSED path (the fused dispatch gates itself off when
 the 'qscales' collection is mutable, gddim_tpu/models/blocks.py) over a sweep

@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--orders", type=int, nargs="+", default=[0, 1, 2, 3])
     parser.add_argument("--method", default="deis")
     parser.add_argument("--num_samples", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
     args = parser.parse_args()
 
     from gddim_tpu import run_lib
@@ -41,6 +42,8 @@ def main():
             config.sampling.deis_order = order
             if args.num_samples:
                 config.eval.num_samples = args.num_samples
+            if args.batch_size:
+                config.eval.batch_size = args.batch_size
             folder = out_dir / f"{args.method}_nfe{nfe}_order{order}"
             run_lib.sample_data(
                 config, args.ckpt, str(folder), workdir=args.workdir
