@@ -82,6 +82,14 @@ def main():
         except Exception as e:
             print(f"{spec}: FAILED {type(e).__name__}: {e}", flush=True)
             continue
+        finally:
+            # compiled executables + their baked device buffers accumulate
+            # across configs in one process and OOM the chip — drop them
+            import gc
+
+            step = state = batch_data = None
+            jax.clear_caches()
+            gc.collect()
         # Analytic model FLOPs (XLA's cost_analysis on the scanned dispatch
         # under-reports — the while-loop body is counted once and scaled
         # inconsistently across backends, measured 8x off on axon): the
