@@ -232,8 +232,6 @@ def main():
                 continue
             print(f"# {mode} batch={b}: {ips:.2f} img/s", flush=True)
             best = max(best, ips)
-            break  # first successful batch point is the headline; the rest
-            # of `batches` are fallbacks (a 0.0 metric must never be emitted)
         if best == 0.0:
             raise RuntimeError(f"all batch points failed for mode {mode}")
         results[mode] = best

@@ -73,22 +73,42 @@ def _attnblock_kernel(
         )
 
     scale = c ** (-0.5)
+
+    # --- pass 1: GroupNorm (+quant) per sample, stacked to (bt*n, c) -------
+    # The four NIN projections then run as ONE matmul each at M = bt*n rows
+    # instead of bt back-to-back M = n matmuls: at the model's n=256 shapes
+    # the per-sample M is only 2 MXU row-tiles, and batching across the tile
+    # keeps the systolic array fed between samples.
+    h_rows, h_scales = [], []
     for s in range(bt):
         x = x_ref[s].astype(jnp.float32)  # (n, c)
         h = _gn_2d(x, p_ref[...], gns_ref[0], gnb_ref[0], inv_n, eps)
         if int8:
             if static_scales:
-                hq = jnp.clip(jnp.round(h * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
-                hs = 1.0
+                h = jnp.clip(jnp.round(h * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
+                h_scales.append(1.0)
             else:
-                hq, hs = _quant_2d(h)
-            q = mm(hq, wq_ref[...]).astype(jnp.float32) * (hs * wqs_ref[0]) + bq_ref[0]
-            k = mm(hq, wk_ref[...]).astype(jnp.float32) * (hs * wks_ref[0]) + bk_ref[0]
-            v = mm(hq, wv_ref[...]).astype(jnp.float32) * (hs * wvs_ref[0]) + bv_ref[0]
+                h, hs = _quant_2d(h)
+                h_scales.append(hs)
+        h_rows.append(h)
+    h_all = jnp.concatenate(h_rows, axis=0) if bt > 1 else h_rows[0]
+    q_all = mm(h_all, wq_ref[...])
+    k_all = mm(h_all, wk_ref[...])
+    v_all = mm(h_all, wv_ref[...])
+
+    # --- pass 2: per-sample attention on sliced rows -----------------------
+    a_rows, a_scales = [], []
+    for s in range(bt):
+        rows = slice(s * n, (s + 1) * n)
+        if int8:
+            hs = h_scales[s]
+            q = q_all[rows].astype(jnp.float32) * (hs * wqs_ref[0]) + bq_ref[0]
+            k = k_all[rows].astype(jnp.float32) * (hs * wks_ref[0]) + bk_ref[0]
+            v = v_all[rows].astype(jnp.float32) * (hs * wvs_ref[0]) + bv_ref[0]
         else:
-            q = mm(h, wq_ref[...]) + bq_ref[0]
-            k = mm(h, wk_ref[...]) + bk_ref[0]
-            v = mm(h, wv_ref[...]) + bv_ref[0]
+            q = q_all[rows] + bq_ref[0]
+            k = k_all[rows] + bk_ref[0]
+            v = v_all[rows] + bv_ref[0]
         logits = jax.lax.dot_general(
             q.astype(attn_dtype), k.astype(attn_dtype),
             (((1,), (1,)), ((), ())),  # q @ k^T
@@ -104,14 +124,23 @@ def _attnblock_kernel(
         )
         if int8:
             if static_scales:
-                aq = jnp.clip(jnp.round(a * qs_ref[0, 1]), -127, 127).astype(jnp.int8)
-                asc = 1.0
+                a = jnp.clip(jnp.round(a * qs_ref[0, 1]), -127, 127).astype(jnp.int8)
+                a_scales.append(1.0)
             else:
-                aq, asc = _quant_2d(a)
-            o = mm(aq, wo_ref[...]).astype(jnp.float32) * (asc * wos_ref[0]) + bo_ref[0]
+                a, asc = _quant_2d(a)
+                a_scales.append(asc)
+        a_rows.append(a)
+
+    # --- pass 3: batched out-projection + per-sample epilogue --------------
+    a_all = jnp.concatenate(a_rows, axis=0) if bt > 1 else a_rows[0]
+    o_all = mm(a_all, wo_ref[...])
+    for s in range(bt):
+        rows = slice(s * n, (s + 1) * n)
+        if int8:
+            o = o_all[rows].astype(jnp.float32) * (a_scales[s] * wos_ref[0]) + bo_ref[0]
         else:
-            o = mm(a, wo_ref[...]) + bo_ref[0]
-        out = x + o
+            o = o_all[rows] + bo_ref[0]
+        out = x_ref[s].astype(jnp.float32) + o
         if rescale:
             out = out * _INV_SQRT2
         o_ref[s] = out.astype(o_ref.dtype)
@@ -137,7 +166,10 @@ def fused_attnblock(
         need = (
             2 * 2 * cand * n * c * itemsize  # in/out blocks, double-buffered
             + 4 * c * c * 4 + c * c * 4  # weights + indicator
-            + (3 * n * c + n * n + n * c) * 4  # q/k/v + scores + out (f32)
+            # batched projections: h_all/a_all + q/k/v/o accumulators over
+            # the whole tile (int32 worst case), per-sample scores f32
+            + 6 * cand * n * c * 4
+            + (2 * n * c + n * n) * 4
         )
         if b % cand == 0 and need <= 11 * 2**20:
             bt = cand
