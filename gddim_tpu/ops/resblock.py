@@ -227,6 +227,123 @@ def _resblock_kernel(
         o_ref[s] = out.astype(o_ref.dtype)
 
 
+def _resblock_kernel_v2(
+    x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref, w1sc_ref,
+    gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
+    wskip_ref, bskip_ref, wsksc_ref,
+    *rest,
+    bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
+    apply_gn1=True, separate_skip=False, static_scales=False, static_skip=True,
+):
+    """Loop-free variant of _resblock_kernel (static-scale int8 and bf16
+    modes only — no per-sample amax reductions are needed there).
+
+    v1 unrolls a python loop of bt rank-2 sample slices for the GroupNorm /
+    quantize / epilogue stages; each iteration's VPU chain serializes against
+    the MXU. v2 vectorizes all per-sample math across the whole (bt, n, C)
+    tile: segment statistics reduce over axis 1, the normalize/activate/
+    quantize chain and the epilogues run once over the full tile, and the
+    scale/shift rows broadcast from (bt, 1, C). Per-sample work that remains
+    is only the padded-scratch stores (cheap data movement).
+    """
+    rest = list(rest)
+    xskip_ref = rest.pop(0) if separate_skip else x_ref
+    qs_ref = rest.pop(0) if static_scales else None
+    o_ref, hpad_ref, hpad2_ref = rest
+    int8 = mm_dtype == jnp.int8
+    n = h * w
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_borders():
+        hpad_ref[...] = jnp.zeros_like(hpad_ref)
+        hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+
+    def gn_silu_tile(x3, pmat, scale_ref2, bias_ref2, inv_n):
+        """(bt, n, C) f32 -> silu(GroupNorm(x)) per sample, vectorized."""
+        s = jnp.sum(x3, axis=1)  # (bt, C)
+        sq = jnp.sum(x3 * x3, axis=1)
+        mean = jax.lax.dot(s, pmat, preferred_element_type=jnp.float32) * inv_n
+        esq = jax.lax.dot(sq, pmat, preferred_element_type=jnp.float32) * inv_n
+        var = esq - mean * mean
+        # fold GN into a per-(sample, channel) affine: out = x*A + B
+        a = jax.lax.rsqrt(var + eps) * scale_ref2[...]  # (bt, C) * (1, C)
+        bb = bias_ref2[...] - mean * a
+        out = x3 * a[:, None, :] + bb[:, None, :]
+        return out * jax.nn.sigmoid(out)
+
+    # --- GN1 + SiLU (+static quant) over the whole tile --------------------
+    x3 = x_ref[...].astype(jnp.float32)  # (bt, n, cin)
+    if apply_gn1:
+        a1 = gn_silu_tile(x3, p1_ref[...], gn1s_ref, gn1b_ref, inv_n1)
+    else:  # tail mode: x_ref already holds silu(GN1(x)), resampled
+        a1 = x3
+    if int8:
+        a1 = jnp.clip(jnp.round(a1 * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
+    for s in range(bt):  # scratch interior stores stay per-sample (layout)
+        hpad_ref[s, 1 : h + 1, 1 : w + 1, :] = a1[s].reshape(h, w, cin).astype(
+            hpad_ref.dtype
+        )
+
+    # --- conv1 (batched) + bias + temb + GN2 + SiLU (+quant) ---------------
+    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
+    acc3 = acc.reshape(bt, n, cout).astype(jnp.float32)
+    if int8:  # w1sc arrives pre-multiplied by the static s1 act scale
+        acc3 = acc3 * w1sc_ref[...][None]
+    acc3 = acc3 + b1_ref[...][None] + temb_ref[:, 0:1, :]
+    a2 = gn_silu_tile(acc3, p2_ref[...], gn2s_ref, gn2b_ref, inv_n2)
+    if int8:
+        a2 = jnp.clip(jnp.round(a2 * qs_ref[0, 1]), -127, 127).astype(jnp.int8)
+    for s in range(bt):
+        hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2[s].reshape(h, w, cout).astype(
+            hpad2_ref.dtype
+        )
+
+    # --- conv2 (batched) + epilogue + skip (batched) -----------------------
+    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
+    h3 = acc2.reshape(bt, n, cout).astype(jnp.float32)
+    if int8:
+        h3 = h3 * w2sc_ref[...][None]
+    h3 = h3 + b2_ref[...][None]
+    xs = xskip_ref[...].astype(jnp.float32)  # (bt, n, cin)
+    if has_skip:
+        xs2 = xs.reshape(bt * n, cin)
+        if int8 and static_scales and static_skip:
+            xq = jnp.clip(
+                jnp.round(xs2 * qs_ref[0, 2]), -127, 127
+            ).astype(jnp.int8)
+            skip = jax.lax.dot_general(
+                xq, wskip_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * wsksc_ref[...]
+        else:
+            wdt = jnp.bfloat16 if int8 else mm_dtype
+            skip = jax.lax.dot_general(
+                xs2.astype(wdt), wskip_ref[...].astype(wdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        skip = skip.reshape(bt, n, cout) + bskip_ref[...][None]
+    else:
+        skip = xs
+    out = skip + h3
+    if rescale:
+        out = out * _INV_SQRT2
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+# fused-resblock kernel body: 'v1' = per-sample rank-2 unroll (always valid),
+# 'v2' = loop-free tile-vectorized (static-scale int8 / bf16 only; dynamic
+# per-sample quantization needs v1's amax loop). A/B'd on the chip.
+RESBLOCK_IMPL = "v1"
+
+
+def _kernel_body(static_scales: bool, mm_dtype) -> "function":
+    if RESBLOCK_IMPL == "v2" and (static_scales or mm_dtype != jnp.int8):
+        return _resblock_kernel_v2
+    return _resblock_kernel
+
+
 def _pick_bt(b, h, w, cin, cout) -> int:
     """Largest batch tile fitting the VMEM budget (double-buffered x/out
     blocks + two padded scratch buffers + resident weights + f32 working
@@ -300,7 +417,7 @@ def fused_resblock(
     inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
     static_skip = bool(static and act_scales[2] is not None)
     kernel = functools.partial(
-        _resblock_kernel,
+        _kernel_body(static, mm_dtype),
         bt=bt, h=h, w=w_, cin=c, cout=cout, inv_n1=inv_n1, inv_n2=inv_n2,
         eps=eps, has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
         static_scales=static, static_skip=static_skip,
@@ -632,7 +749,7 @@ def fused_resblock_tail(
     inv_n2 = 1.0 / (hh * ww * (cout // num_groups2))
     static_skip = bool(static and act_scales[2] is not None)
     kernel = functools.partial(
-        _resblock_kernel,
+        _kernel_body(static, mm_dtype),
         bt=bt, h=hh, w=ww, cin=c, cout=cout, inv_n1=1.0, inv_n2=inv_n2,
         eps=eps, has_skip=True, rescale=skip_rescale, mm_dtype=mm_dtype,
         apply_gn1=False, separate_skip=True, static_scales=static,

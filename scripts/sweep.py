@@ -11,7 +11,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from pathlib import Path
+
+# GDDIM_PLATFORM=cpu|tpu pins the JAX platform through the config API (the
+# axon TPU plugin overrides the JAX_PLATFORMS env var; same hook as cli.py)
+_platform = os.environ.get("GDDIM_PLATFORM")
+if _platform:
+    import jax
+
+    jax.config.update("jax_platforms", _platform)
 
 
 def main():

@@ -849,3 +849,88 @@ def test_fused_resblock_hybrid_static_dynamic_skip(rng):
         )
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.06, rel
+
+
+def test_fused_resblock_v2_loop_free_matches_reference(rng):
+    """The loop-free kernel body (RESBLOCK_IMPL='v2': tile-vectorized GN /
+    quant / epilogues) must match the reference in every mode it serves:
+    f32, identity + projected skip, static-int8 with dynamic bf16 skip, and
+    the transition tail."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops import resblock as rb
+
+    B, H, C, C2 = 2, 8, 128, 256
+    x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    kw = dict(num_groups1=32, num_groups2=32, skip_rescale=True)
+
+    old = rb.RESBLOCK_IMPL
+    rb.RESBLOCK_IMPL = "v2"
+    try:
+        # f32, identity skip
+        ref = np.asarray(
+            rb.resblock_reference(x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, **kw)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                rb.fused_resblock(
+                    x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+                    mm_dtype=jnp.float32, **kw,
+                )
+            )
+        np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+        # projected skip + static-int8 a1/a2 with dynamic bf16 skip (the
+        # production hybrid) and fully-static skip
+        w1p = jnp.asarray(rng.normal(size=(3, 3, C, C2)).astype(np.float32) * 0.05)
+        w2p = jnp.asarray(rng.normal(size=(3, 3, C2, C2)).astype(np.float32) * 0.05)
+        ws = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+        bs = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+        tembp = jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32))
+        zp = jnp.zeros((C2,), jnp.float32)
+        op = jnp.ones((C2,), jnp.float32)
+        args = (x, tembp, g1s, g1b, w1p, zp, op, zp, w2p, zp, ws, bs)
+        ref2 = np.asarray(rb.resblock_reference(*args, **kw))
+        amax1 = float(np.abs(np.asarray(
+            group_norm_silu_reference(x, g1s, g1b, 32)
+        )).max())
+        for sx in (None, float(np.abs(np.asarray(x)).max())):
+            sc = rb.act_scales_from_amax((amax1, 6.0, sx))
+            with pltpu.force_tpu_interpret_mode():
+                got2 = np.asarray(
+                    rb.fused_resblock(
+                        *args, mm_dtype=jnp.int8, act_scales=sc, **kw
+                    )
+                )
+            rel = np.abs(got2 - ref2).max() / np.abs(ref2).max()
+            assert rel < 0.06, (sx, rel)
+
+        # transition tail (apply_gn1=False, separate skip), f32
+        hpre = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+        xsk = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+        wsq = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+        ref3 = np.asarray(
+            rb.resblock_tail_reference(
+                hpre, xsk, tembp, w1p, zp, op, zp, w2p, zp, wsq, bs,
+                num_groups2=32, skip_rescale=True,
+            )
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got3 = np.asarray(
+                rb.fused_resblock_tail(
+                    hpre, xsk, tembp, w1p, zp, op, zp, w2p, zp, wsq, bs,
+                    num_groups2=32, skip_rescale=True, mm_dtype=jnp.float32,
+                )
+            )
+        np.testing.assert_allclose(got3, ref3, rtol=5e-4, atol=5e-4)
+    finally:
+        rb.RESBLOCK_IMPL = old
