@@ -334,8 +334,11 @@ def _resblock_kernel_v2(
 
 # fused-resblock kernel body: 'v1' = per-sample rank-2 unroll (always valid),
 # 'v2' = loop-free tile-vectorized (static-scale int8 / bf16 only; dynamic
-# per-sample quantization needs v1's amax loop). A/B'd on the chip.
-RESBLOCK_IMPL = "v1"
+# per-sample quantization needs v1's amax loop). A/B'd on the chip;
+# GDDIM_RESBLOCK_IMPL overrides for experiments.
+import os as _os
+
+RESBLOCK_IMPL = _os.environ.get("GDDIM_RESBLOCK_IMPL", "v1")
 
 
 def _kernel_body(static_scales: bool, mm_dtype) -> "function":
@@ -344,10 +347,17 @@ def _kernel_body(static_scales: bool, mm_dtype) -> "function":
     return _resblock_kernel
 
 
-def _pick_bt(b, h, w, cin, cout) -> int:
+def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2) -> int:
     """Largest batch tile fitting the VMEM budget (double-buffered x/out
     blocks + two padded scratch buffers + resident weights + f32 working
-    values, with native-tiling padding)."""
+    values, with native-tiling padding).
+
+    max_bt: v1's per-sample unroll bounds the tile at 16; the loop-free v2
+    body can take larger tiles — the win is M = bt*h*w matmul rows at the
+    small-resolution levels (8x8/4x4), whose conv rates are otherwise the
+    model's worst. work_tiles: peak count of tile-sized f32 temporaries
+    (v2 materializes whole-tile activations, so it budgets one more).
+    """
 
     def pad(n, m):
         return -(-n // m) * m
@@ -356,13 +366,13 @@ def _pick_bt(b, h, w, cin, cout) -> int:
     weights = (9 * (cin * cout + cout * cout) + cin * cout) * 2 + (
         cin * cin + cout * cout
     ) * 4
-    for bt in (16, 8, 4, 2, 1):
-        if b % bt:
+    for bt in (64, 32, 16, 8, 4, 2, 1):
+        if bt > max_bt or b % bt:
             continue
         x_blk = bt * pad(h * w, 8) * pad(cin, 128) * 2
         o_blk = bt * pad(h * w, 8) * pad(cout, 128) * 2
         scr = bt * (h + 2) * pad(w + 2, 16) * (pad(cin, 128) + pad(cout, 128)) * 2
-        work = 2 * bt * h * w * max(cin, cout) * 4  # f32 temporaries
+        work = work_tiles * bt * h * w * max(cin, cout) * 4  # f32 temporaries
         if 2 * x_blk + 2 * o_blk + scr + weights + work <= budget:
             return bt
     return 1
@@ -400,7 +410,11 @@ def fused_resblock(
     has_skip = w_skip is not None
     if not has_skip:
         assert c == cout, (c, cout)
-    bt = _pick_bt(b, h, w_, c, cout)
+    body = _kernel_body(static, mm_dtype)
+    v2 = body is _resblock_kernel_v2
+    bt = _pick_bt(
+        b, h, w_, c, cout, max_bt=64 if v2 else 16, work_tiles=3 if v2 else 2
+    )
 
     def prep_w(wm, shape, quant=None):
         """-> (kernel operand, (1,Cout) scale row) for the mm dtype."""
@@ -417,7 +431,7 @@ def fused_resblock(
     inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
     static_skip = bool(static and act_scales[2] is not None)
     kernel = functools.partial(
-        _kernel_body(static, mm_dtype),
+        body,
         bt=bt, h=h, w=w_, cin=c, cout=cout, inv_n1=inv_n1, inv_n2=inv_n2,
         eps=eps, has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
         static_scales=static, static_skip=static_skip,
@@ -733,7 +747,11 @@ def fused_resblock_tail(
     b, hh, ww, c = h.shape
     cout = w1.shape[-1]
     assert x_skip.shape == (b, hh, ww, c), (x_skip.shape, h.shape)
-    bt = _pick_bt(b, hh, ww, c, cout)
+    body = _kernel_body(static, mm_dtype)
+    v2 = body is _resblock_kernel_v2
+    bt = _pick_bt(
+        b, hh, ww, c, cout, max_bt=64 if v2 else 16, work_tiles=3 if v2 else 2
+    )
 
     def prep_w(wm, shape, quant=None):
         quant = int8 if quant is None else quant
@@ -749,7 +767,7 @@ def fused_resblock_tail(
     inv_n2 = 1.0 / (hh * ww * (cout // num_groups2))
     static_skip = bool(static and act_scales[2] is not None)
     kernel = functools.partial(
-        _kernel_body(static, mm_dtype),
+        body,
         bt=bt, h=hh, w=ww, cin=c, cout=cout, inv_n1=1.0, inv_n2=inv_n2,
         eps=eps, has_skip=True, rescale=skip_rescale, mm_dtype=mm_dtype,
         apply_gn1=False, separate_skip=True, static_scales=static,
