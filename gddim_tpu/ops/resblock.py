@@ -621,6 +621,117 @@ def _resblock_pair_kernel(
         o_ref[s] = out.astype(o_ref.dtype)
 
 
+def _resblock_pair_kernel_v2(
+    xa_ref, xb_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref,
+    w1sc_ref, gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
+    wskip_ref, bskip_ref, wsksc_ref, *rest,
+    bt, h, w, c1, c2, cout, inv_n1, inv_n2, eps, rescale, mm_dtype,
+    static_scales=False, static_skip=True,
+):
+    """Loop-free variant of _resblock_pair_kernel (static-scale int8 / bf16
+    modes; see _resblock_kernel_v2). GN1 statistics assemble from per-part
+    tile reductions; everything per-sample becomes a (bt, n, C) broadcast."""
+    rest = list(rest)
+    qs_ref = rest.pop(0) if static_scales else None
+    o_ref, hpad_ref, hpad2_ref = rest
+    int8 = mm_dtype == jnp.int8
+    n = h * w
+    cin = c1 + c2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_borders():
+        hpad_ref[...] = jnp.zeros_like(hpad_ref)
+        hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+
+    # --- GN1 + SiLU over the logical concat, tile-vectorized ---------------
+    xa3 = xa_ref[...].astype(jnp.float32)  # (bt, n, c1)
+    xb3 = xb_ref[...].astype(jnp.float32)  # (bt, n, c2)
+    s_bt = jnp.concatenate([jnp.sum(xa3, 1), jnp.sum(xb3, 1)], axis=1)
+    sq_bt = jnp.concatenate(
+        [jnp.sum(xa3 * xa3, 1), jnp.sum(xb3 * xb3, 1)], axis=1
+    )
+    mean = jax.lax.dot(s_bt, p1_ref[...], preferred_element_type=jnp.float32) * inv_n1
+    esq = jax.lax.dot(sq_bt, p1_ref[...], preferred_element_type=jnp.float32) * inv_n1
+    a_aff = jax.lax.rsqrt(esq - mean * mean + eps) * gn1s_ref[...]  # (bt, cin)
+    b_aff = gn1b_ref[...] - mean * a_aff
+    oa = xa3 * a_aff[:, None, :c1] + b_aff[:, None, :c1]
+    ob = xb3 * a_aff[:, None, c1:] + b_aff[:, None, c1:]
+    oa = oa * jax.nn.sigmoid(oa)
+    ob = ob * jax.nn.sigmoid(ob)
+    if int8:
+        oa = jnp.clip(jnp.round(oa * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
+        ob = jnp.clip(jnp.round(ob * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
+    for s in range(bt):
+        hpad_ref[s, 1 : h + 1, 1 : w + 1, :c1] = oa[s].reshape(h, w, c1).astype(
+            hpad_ref.dtype
+        )
+        hpad_ref[s, 1 : h + 1, 1 : w + 1, c1:] = ob[s].reshape(h, w, c2).astype(
+            hpad_ref.dtype
+        )
+
+    # --- conv1 (batched) + bias + temb + GN2 + SiLU (+quant) ---------------
+    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
+    acc3 = acc.reshape(bt, n, cout).astype(jnp.float32)
+    if int8:
+        acc3 = acc3 * w1sc_ref[...][None]
+    acc3 = acc3 + b1_ref[...][None] + temb_ref[:, 0:1, :]
+    s2 = jnp.sum(acc3, axis=1)
+    sq2 = jnp.sum(acc3 * acc3, axis=1)
+    mean2 = jax.lax.dot(s2, p2_ref[...], preferred_element_type=jnp.float32) * inv_n2
+    esq2 = jax.lax.dot(sq2, p2_ref[...], preferred_element_type=jnp.float32) * inv_n2
+    a2_aff = jax.lax.rsqrt(esq2 - mean2 * mean2 + eps) * gn2s_ref[...]
+    b2_aff = gn2b_ref[...] - mean2 * a2_aff
+    a2 = acc3 * a2_aff[:, None, :] + b2_aff[:, None, :]
+    a2 = a2 * jax.nn.sigmoid(a2)
+    if int8:
+        a2 = jnp.clip(jnp.round(a2 * qs_ref[0, 1]), -127, 127).astype(jnp.int8)
+    for s in range(bt):
+        hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2[s].reshape(h, w, cout).astype(
+            hpad2_ref.dtype
+        )
+
+    # --- conv2 (batched) + epilogue + split skip (batched) -----------------
+    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
+    h3 = acc2.reshape(bt, n, cout).astype(jnp.float32)
+    if int8:
+        h3 = h3 * w2sc_ref[...][None]
+    h3 = h3 + b2_ref[...][None]
+    xa2 = xa3.reshape(bt * n, c1)
+    xb2 = xb3.reshape(bt * n, c2)
+    if int8 and static_scales and static_skip:
+        qa = jnp.clip(jnp.round(xa2 * qs_ref[0, 2]), -127, 127).astype(jnp.int8)
+        qb = jnp.clip(jnp.round(xb2 * qs_ref[0, 2]), -127, 127).astype(jnp.int8)
+        sk = jax.lax.dot_general(
+            qa, wskip_ref[:c1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + jax.lax.dot_general(
+            qb, wskip_ref[c1:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        skip = sk.astype(jnp.float32) * wsksc_ref[...]
+    else:
+        wdt = jnp.bfloat16 if int8 else mm_dtype
+        skip = jax.lax.dot_general(
+            xa2.astype(wdt), wskip_ref[:c1].astype(wdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            xb2.astype(wdt), wskip_ref[c1:].astype(wdt),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out = skip.reshape(bt, n, cout) + bskip_ref[...][None] + h3
+    if rescale:
+        out = out * _INV_SQRT2
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _pair_body(static_scales: bool, mm_dtype):
+    if RESBLOCK_IMPL == "v2" and (static_scales or mm_dtype != jnp.int8):
+        return _resblock_pair_kernel_v2
+    return _resblock_pair_kernel
+
+
 def fused_resblock_pair(
     xa, xb, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias,
     w2, b2, w_skip, b_skip, *, num_groups1: int, num_groups2: int,
@@ -637,7 +748,11 @@ def fused_resblock_pair(
     assert xb.shape == (b, h, w_, c2)
     cin = c1 + c2
     cout = w1.shape[-1]
-    bt = _pick_bt(b, h, w_, cin, cout)
+    body = _pair_body(static, mm_dtype)
+    v2 = body is _resblock_pair_kernel_v2
+    bt = _pick_bt(
+        b, h, w_, cin, cout, max_bt=64 if v2 else 16, work_tiles=3 if v2 else 2
+    )
 
     def prep_w(wm, shape, quant=None):
         quant = int8 if quant is None else quant
@@ -654,7 +769,7 @@ def fused_resblock_pair(
     inv_n2 = 1.0 / (h * w_ * (cout // num_groups2))
     static_skip = bool(static and act_scales[2] is not None)
     kernel = functools.partial(
-        _resblock_pair_kernel,
+        body,
         bt=bt, h=h, w=w_, c1=c1, c2=c2, cout=cout, inv_n1=inv_n1,
         inv_n2=inv_n2, eps=eps, rescale=skip_rescale, mm_dtype=mm_dtype,
         static_scales=static, static_skip=static_skip,

@@ -934,3 +934,62 @@ def test_fused_resblock_v2_loop_free_matches_reference(rng):
         np.testing.assert_allclose(got3, ref3, rtol=5e-4, atol=5e-4)
     finally:
         rb.RESBLOCK_IMPL = old
+
+
+def test_fused_resblock_pair_v2_matches_reference(rng):
+    """Loop-free pair kernel (v2) == reference on the concatenated input,
+    f32 and static-int8 (hybrid dynamic skip)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops import resblock as rb
+
+    B, H, C1, C2, CO = 2, 8, 128, 128, 128
+    xa = jnp.asarray(rng.normal(size=(B, H, H, C1)).astype(np.float32))
+    xb = jnp.asarray(rng.normal(size=(B, H, H, C2)).astype(np.float32))
+    x = jnp.concatenate([xa, xb], axis=-1)
+    cin = C1 + C2
+    temb = jnp.asarray(rng.normal(size=(B, CO)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(cin,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(cin,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, cin, CO)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, CO, CO)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(cin, CO)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(CO,)).astype(np.float32))
+    kw = dict(num_groups1=32, num_groups2=32, skip_rescale=True)
+
+    ref = np.asarray(
+        rb.resblock_reference(
+            x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs, **kw
+        )
+    )
+    old = rb.RESBLOCK_IMPL
+    rb.RESBLOCK_IMPL = "v2"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                rb.fused_resblock_pair(
+                    xa, xb, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs,
+                    mm_dtype=jnp.float32, **kw,
+                )
+            )
+        np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+        amax1 = float(np.abs(np.asarray(
+            group_norm_silu_reference(x, g1s, g1b, 32)
+        )).max())
+        sc = rb.act_scales_from_amax((amax1, 6.0, None))
+        with pltpu.force_tpu_interpret_mode():
+            got8 = np.asarray(
+                rb.fused_resblock_pair(
+                    xa, xb, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs,
+                    mm_dtype=jnp.int8, act_scales=sc, **kw,
+                )
+            )
+        rel = np.abs(got8 - ref).max() / np.abs(ref).max()
+        assert rel < 0.06, rel
+    finally:
+        rb.RESBLOCK_IMPL = old
