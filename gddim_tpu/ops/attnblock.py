@@ -74,24 +74,35 @@ def _attnblock_kernel(
 
     scale = c ** (-0.5)
 
-    # --- pass 1: GroupNorm (+quant) per sample, stacked to (bt*n, c) -------
+    # --- pass 1: GroupNorm (+quant), stacked to (bt*n, c) ------------------
     # The four NIN projections then run as ONE matmul each at M = bt*n rows
     # instead of bt back-to-back M = n matmuls: at the model's n=256 shapes
     # the per-sample M is only 2 MXU row-tiles, and batching across the tile
     # keeps the systolic array fed between samples.
-    h_rows, h_scales = [], []
-    for s in range(bt):
-        x = x_ref[s].astype(jnp.float32)  # (n, c)
-        h = _gn_2d(x, p_ref[...], gns_ref[0], gnb_ref[0], inv_n, eps)
+    if static_scales or not int8:
+        # tile-vectorized GN (see resblock.py v2): segment stats over axis 1,
+        # per-(sample, channel) affine broadcast — no per-sample VPU unroll
+        x3 = x_ref[...].astype(jnp.float32)  # (bt, n, c)
+        s_bt = jnp.sum(x3, axis=1)
+        sq_bt = jnp.sum(x3 * x3, axis=1)
+        mean = jax.lax.dot(s_bt, p_ref[...], preferred_element_type=jnp.float32) * inv_n
+        esq = jax.lax.dot(sq_bt, p_ref[...], preferred_element_type=jnp.float32) * inv_n
+        a_aff = jax.lax.rsqrt(esq - mean * mean + eps) * gns_ref[...]
+        b_aff = gnb_ref[...] - mean * a_aff
+        h3 = x3 * a_aff[:, None, :] + b_aff[:, None, :]
         if int8:
-            if static_scales:
-                h = jnp.clip(jnp.round(h * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
-                h_scales.append(1.0)
-            else:
-                h, hs = _quant_2d(h)
-                h_scales.append(hs)
-        h_rows.append(h)
-    h_all = jnp.concatenate(h_rows, axis=0) if bt > 1 else h_rows[0]
+            h3 = jnp.clip(jnp.round(h3 * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
+        h_all = h3.reshape(bt * n, c)
+        h_scales = [1.0] * bt
+    else:  # dynamic int8: per-sample amax needs the unrolled loop
+        h_rows, h_scales = [], []
+        for s in range(bt):
+            x = x_ref[s].astype(jnp.float32)  # (n, c)
+            h = _gn_2d(x, p_ref[...], gns_ref[0], gnb_ref[0], inv_n, eps)
+            h, hs = _quant_2d(h)
+            h_scales.append(hs)
+            h_rows.append(h)
+        h_all = jnp.concatenate(h_rows, axis=0) if bt > 1 else h_rows[0]
     q_all = mm(h_all, wq_ref[...])
     k_all = mm(h_all, wk_ref[...])
     v_all = mm(h_all, wv_ref[...])
