@@ -142,19 +142,25 @@ def _attnblock_kernel(
                 a_scales.append(asc)
         a_rows.append(a)
 
-    # --- pass 3: batched out-projection + per-sample epilogue --------------
+    # --- pass 3: batched out-projection + epilogue -------------------------
     a_all = jnp.concatenate(a_rows, axis=0) if bt > 1 else a_rows[0]
     o_all = mm(a_all, wo_ref[...])
-    for s in range(bt):
-        rows = slice(s * n, (s + 1) * n)
+    if static_scales or not int8:  # tile-vectorized epilogue
+        o3 = o_all.reshape(bt, n, c).astype(jnp.float32)
         if int8:
-            o = o_all[rows].astype(jnp.float32) * (a_scales[s] * wos_ref[0]) + bo_ref[0]
-        else:
-            o = o_all[rows] + bo_ref[0]
-        out = x_ref[s].astype(jnp.float32) + o
+            o3 = o3 * wos_ref[...][None]
+        out = x_ref[...].astype(jnp.float32) + o3 + bo_ref[...][None]
         if rescale:
             out = out * _INV_SQRT2
-        o_ref[s] = out.astype(o_ref.dtype)
+        o_ref[...] = out.astype(o_ref.dtype)
+    else:  # dynamic int8: per-sample dequant scales
+        for s in range(bt):
+            rows = slice(s * n, (s + 1) * n)
+            o = o_all[rows].astype(jnp.float32) * (a_scales[s] * wos_ref[0]) + bo_ref[0]
+            out = x_ref[s].astype(jnp.float32) + o
+            if rescale:
+                out = out * _INV_SQRT2
+            o_ref[s] = out.astype(o_ref.dtype)
 
 
 def fused_attnblock(
