@@ -173,13 +173,18 @@ def fused_attnblock(
     act_scales (int8 only): calibrated (s_h, s_a) static activation scales —
     skips the per-sample amax reductions in the kernel.
     """
+    import os
+
     int8 = mm_dtype == jnp.int8
     static = bool(int8 and act_scales is not None)
     b, h, w_, c = x.shape
     n = h * w_
     bt = 1
     itemsize = jnp.dtype(x.dtype).itemsize
-    for cand in (8, 4, 2, 1):
+    bt_env = int(os.environ.get("GDDIM_ATTN_BT", "0"))  # A/B escape hatch
+    if bt_env and b % bt_env == 0:
+        bt = bt_env
+    for cand in () if bt_env else (8, 4, 2, 1):
         need = (
             2 * 2 * cand * n * c * itemsize  # in/out blocks, double-buffered
             + 4 * c * c * 4 + c * c * 4  # weights + indicator

@@ -362,6 +362,10 @@ def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2) -> int:
     def pad(n, m):
         return -(-n // m) * m
 
+    bt_env = int(_os.environ.get("GDDIM_RESBLOCK_BT", "0"))  # A/B escape hatch
+    if bt_env and b % bt_env == 0:
+        return bt_env
+
     budget = 11 * 2**20
     weights = (9 * (cin * cout + cout * cout) + cin * cout) * 2 + (
         cin * cin + cout * cout
