@@ -658,8 +658,10 @@ def _resblock_pair_kernel_v2(
     esq = jax.lax.dot(sq_bt, p1_ref[...], preferred_element_type=jnp.float32) * inv_n1
     a_aff = jax.lax.rsqrt(esq - mean * mean + eps) * gn1s_ref[...]  # (bt, cin)
     b_aff = gn1b_ref[...] - mean * a_aff
-    oa = xa3 * a_aff[:, None, :c1] + b_aff[:, None, :c1]
-    ob = xb3 * a_aff[:, None, c1:] + b_aff[:, None, c1:]
+    # slice BEFORE the None-expansion: a mixed [:, None, :c1] index lowers to
+    # a gather, which Mosaic's TPU lowering rejects
+    oa = xa3 * a_aff[:, :c1][:, None, :] + b_aff[:, :c1][:, None, :]
+    ob = xb3 * a_aff[:, c1:][:, None, :] + b_aff[:, c1:][:, None, :]
     oa = oa * jax.nn.sigmoid(oa)
     ob = ob * jax.nn.sigmoid(ob)
     if int8:

@@ -4,6 +4,7 @@
 # the per-level rate experiments. Logs to $LOG.
 set -u
 cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 LOG=${LOG:-/tmp/tpu_battery.log}
 : > "$LOG"
 note() { echo "=== $(date +%H:%M:%S) $*" | tee -a "$LOG"; }
