@@ -28,20 +28,12 @@ REPS = 4
 
 
 def bench_scan(step_fn, x0, length=K, reps=REPS):
-    @jax.jit
-    def run(x):
-        def body(h, _):
-            return step_fn(h), None
+    # delta-K differencing: the tunnel's per-dispatch overhead is variable
+    # (up to ~24 ms measured round 3c) and otherwise pollutes per-app times
+    from _timing import per_app_seconds
 
-        h, _ = jax.lax.scan(body, x, None, length=length)
-        return h.astype(jnp.float32).mean()
-
-    out = run(x0)
-    _ = float(np.asarray(out))
-    t0 = time.perf_counter()
-    outs = [run(x0) for _ in range(reps)]
-    _ = float(np.asarray(outs[-1]))
-    return (time.perf_counter() - t0) / (reps * length)
+    del length, reps
+    return per_app_seconds(step_fn, x0)
 
 
 def make_block(b, s, cin, cout, mm_dtype, static):
@@ -184,7 +176,8 @@ def main():
             )
 
         x0 = jnp.asarray(
-            np.random.default_rng(1).normal(size=(b, n, c)) * 0.5, jnp.bfloat16
+            np.random.default_rng(1).normal(size=(b, s, s, c)) * 0.5,
+            jnp.bfloat16,
         )
         try:
             dt = bench_scan(attn_step, x0)

@@ -31,20 +31,12 @@ REPS = 4
 
 
 def bench_scan(step_fn, x0, length=K, reps=REPS):
-    @jax.jit
-    def run(x):
-        def body(h, _):
-            return step_fn(h), None
+    # delta-K differencing (see scripts/_timing.py): removes the variable
+    # per-dispatch tunnel overhead that polluted the round-3b readings
+    from _timing import per_app_seconds
 
-        h, _ = jax.lax.scan(body, x, None, length=length)
-        return h.astype(jnp.float32).mean()
-
-    out = run(x0)
-    _ = float(np.asarray(out))
-    t0 = time.perf_counter()
-    outs = [run(x0) for _ in range(reps)]
-    _ = float(np.asarray(outs[-1]))
-    return (time.perf_counter() - t0) / (reps * length)
+    del length, reps
+    return per_app_seconds(step_fn, x0)
 
 
 def _conv_only_kernel(x_ref, w1_ref, w2_ref, o_ref, hpad_ref, hpad2_ref, *,
