@@ -366,6 +366,11 @@ def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2) -> int:
     if bt_env and b % bt_env == 0:
         return bt_env
 
+    # 11 MB measured-best END-TO-END: a 16 MB budget (which flips the 32x32
+    # level to bt=4, 19% faster standalone) costs 1.4% on the headline —
+    # larger tiles at every level displace the double-buffering headroom the
+    # grid pipeline needs. Standalone block timings do not compose; trust
+    # the full-model bench (round 3c).
     budget = 11 * 2**20
     weights = (9 * (cin * cout + cout * cout) + cin * cout) * 2 + (
         cin * cin + cout * cout
