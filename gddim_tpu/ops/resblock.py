@@ -334,15 +334,20 @@ def _resblock_kernel_v2(
 
 # fused-resblock kernel body: 'v1' = per-sample rank-2 unroll (always valid),
 # 'v2' = loop-free tile-vectorized (static-scale int8 / bf16 only; dynamic
-# per-sample quantization needs v1's amax loop). A/B'd on the chip;
+# per-sample quantization needs v1's amax loop). Chip A/B (round 3c): v2 is
+# end-to-end neutral globally, but wins ~7% at the 32x32 level where the
+# VPU share is largest — 'auto' takes v2 only for single blocks at n>=1024.
 # GDDIM_RESBLOCK_IMPL overrides for experiments.
 import os as _os
 
-RESBLOCK_IMPL = _os.environ.get("GDDIM_RESBLOCK_IMPL", "v1")
+RESBLOCK_IMPL = _os.environ.get("GDDIM_RESBLOCK_IMPL", "auto")
 
 
-def _kernel_body(static_scales: bool, mm_dtype) -> "function":
-    if RESBLOCK_IMPL == "v2" and (static_scales or mm_dtype != jnp.int8):
+def _kernel_body(static_scales: bool, mm_dtype, n: int = 0) -> "function":
+    v2_ok = static_scales or mm_dtype != jnp.int8
+    if RESBLOCK_IMPL == "v2" and v2_ok:
+        return _resblock_kernel_v2
+    if RESBLOCK_IMPL == "auto" and v2_ok and n >= 1024:
         return _resblock_kernel_v2
     return _resblock_kernel
 
@@ -419,7 +424,7 @@ def fused_resblock(
     has_skip = w_skip is not None
     if not has_skip:
         assert c == cout, (c, cout)
-    body = _kernel_body(static, mm_dtype)
+    body = _kernel_body(static, mm_dtype, n=h * w_)
     v2 = body is _resblock_kernel_v2
     bt = _pick_bt(
         b, h, w_, c, cout, max_bt=64 if v2 else 16, work_tiles=3 if v2 else 2
@@ -873,6 +878,8 @@ def fused_resblock_tail(
     b, hh, ww, c = h.shape
     cout = w1.shape[-1]
     assert x_skip.shape == (b, hh, ww, c), (x_skip.shape, h.shape)
+    # tail mode stays v1 under 'auto': the v2 win at n>=1024 was measured on
+    # the standard (apply_gn1) path; explicit GDDIM_RESBLOCK_IMPL=v2 applies
     body = _kernel_body(static, mm_dtype)
     v2 = body is _resblock_kernel_v2
     bt = _pick_bt(
