@@ -91,16 +91,29 @@ def _conv9(h_pad_ref, w_ref, bt, h, w, cin, cout, dtype):
     """9 shifted matmuls over the VMEM-resident padded tiles (bt samples)."""
     int8 = dtype == jnp.int8
     acc_t = jnp.int32 if int8 else jnp.float32
+    # A/B escape hatch: split wide contractions into chunks of this many
+    # lanes (e.g. 128) — probes whether Mosaic's K>128 dot scheduling is the
+    # pair kernels' rate limiter at N=128 outputs. 0 = single full-K dot.
+    splitk = int(_os.environ.get("GDDIM_CONV9_SPLITK", "0"))
     acc = jnp.zeros((bt * h * w, cout), acc_t)
     for dy in range(3):
         for dx in range(3):
             tile = h_pad_ref[:, dy : dy + h, dx : dx + w, :]
-            acc += jax.lax.dot_general(
-                tile.reshape(bt * h * w, cin).astype(dtype),
-                w_ref[dy * 3 + dx].astype(dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=acc_t,
-            )
+            t2d = tile.reshape(bt * h * w, cin).astype(dtype)
+            wk = w_ref[dy * 3 + dx].astype(dtype)
+            if splitk and cin > splitk and cin % splitk == 0:
+                for k0 in range(0, cin, splitk):
+                    acc += jax.lax.dot_general(
+                        t2d[:, k0 : k0 + splitk],
+                        wk[k0 : k0 + splitk],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=acc_t,
+                    )
+            else:
+                acc += jax.lax.dot_general(
+                    t2d, wk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_t,
+                )
     return acc
 
 
@@ -367,9 +380,41 @@ def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2) -> int:
     def pad(n, m):
         return -(-n // m) * m
 
+    def est(bt):
+        """Scoped-VMEM estimate for a candidate tile (same model as the
+        budget loop below)."""
+        x_blk = bt * pad(h * w, 8) * pad(cin, 128) * 2
+        o_blk = bt * pad(h * w, 8) * pad(cout, 128) * 2
+        scr = bt * (h + 2) * pad(w + 2, 16) * (pad(cin, 128) + pad(cout, 128)) * 2
+        work = work_tiles * bt * h * w * max(cin, cout) * 4
+        return 2 * x_blk + 2 * o_blk + scr + work
+
+    weights = (9 * (cin * cout + cout * cout) + cin * cout) * 2 + (
+        cin * cin + cout * cout
+    ) * 4
+    # Mosaic's scoped-vmem hard limit is 16 MB; overrides must stay under it
+    # (measured: a pair tile estimating ~17.2 MB is rejected at compile).
+    HARD = int(15.5 * 2**20)
+
     bt_env = int(_os.environ.get("GDDIM_RESBLOCK_BT", "0"))  # A/B escape hatch
     if bt_env and b % bt_env == 0:
         return bt_env
+    # per-shape override keyed by n=h*w ("1024:4,256:8"): lets one level's
+    # tile change without moving the global budget (round 3c showed the
+    # 16 MB budget's bt=4-at-32x32 win does not survive globally). Skipped
+    # when the forced tile would blow the scoped-vmem hard limit (pairs and
+    # tails have wider cin at the same n, so a map entry tuned on singles
+    # must not take down the whole model).
+    bt_map = _os.environ.get("GDDIM_RESBLOCK_BT_MAP", "")
+    if bt_map:
+        for entry in bt_map.split(","):
+            n_s, bt_s = entry.split(":")
+            if (
+                int(n_s) == h * w
+                and b % int(bt_s) == 0
+                and est(int(bt_s)) + weights <= HARD
+            ):
+                return int(bt_s)
 
     # 11 MB measured-best END-TO-END: a 16 MB budget (which flips the 32x32
     # level to bt=4, 19% faster standalone) costs 1.4% on the headline —
@@ -377,17 +422,10 @@ def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2) -> int:
     # grid pipeline needs. Standalone block timings do not compose; trust
     # the full-model bench (round 3c).
     budget = 11 * 2**20
-    weights = (9 * (cin * cout + cout * cout) + cin * cout) * 2 + (
-        cin * cin + cout * cout
-    ) * 4
     for bt in (64, 32, 16, 8, 4, 2, 1):
         if bt > max_bt or b % bt:
             continue
-        x_blk = bt * pad(h * w, 8) * pad(cin, 128) * 2
-        o_blk = bt * pad(h * w, 8) * pad(cout, 128) * 2
-        scr = bt * (h + 2) * pad(w + 2, 16) * (pad(cin, 128) + pad(cout, 128)) * 2
-        work = work_tiles * bt * h * w * max(cin, cout) * 4  # f32 temporaries
-        if 2 * x_blk + 2 * o_blk + scr + weights + work <= budget:
+        if est(bt) + weights <= budget:
             return bt
     return 1
 
