@@ -1070,6 +1070,13 @@ def resblock_reference(
 
 def supported(x_shape, cout: int) -> bool:
     b, h, w, c = x_shape
+    # per-shape fused-vs-XLA policy hook ("1024" vetoes the 32x32 level):
+    # at K=N=128 widths the int8 MXU sits at its narrow-shape wall
+    # (~126-144 TOP/s, scripts/exp_mm_width.py) while XLA's bf16 conv
+    # lowering reaches ~200 TF/s — the unfused XLA path can win there.
+    veto = _os.environ.get("GDDIM_FUSED_VETO_N", "")
+    if veto and h * w in {int(v) for v in veto.split(",")}:
+        return False
     return (
         jax.default_backend() == "tpu"
         and c % 128 == 0

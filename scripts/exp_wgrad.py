@@ -24,10 +24,10 @@ DN = ("NHWC", "HWIO", "NHWC")
 
 
 def conv(x, k):
+    # pure-bf16 conv exactly as the train path's nn.Conv(dtype=bf16)
     return jax.lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=DN,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        x, k, (1, 1), "SAME", dimension_numbers=DN
+    )
 
 
 def bench_shape(b, s, c, cout):
@@ -42,8 +42,11 @@ def bench_shape(b, s, c, cout):
         return y[..., :c] if cout != c else y
 
     def dgrad(x):
-        _, vjp = jax.vjp(lambda xx: conv(xx, k), x)
-        (dx,) = vjp(dy)
+        # conv is linear, so the input-grad at any linearization point is a
+        # function of the COTANGENT only — feed the chain state as the
+        # cotangent so each step performs one real dgrad conv
+        _, vjp = jax.vjp(lambda xx: conv(xx, k), jnp.zeros_like(x))
+        (dx,) = vjp(x.astype(dy.dtype) if cout == c else conv(x, k))
         return dx
 
     def wgrad(x):
@@ -65,11 +68,11 @@ def bench_shape(b, s, c, cout):
 def main():
     print(f"backend={jax.default_backend()}")
     for b, s, c, cout in [
-        (64, 32, 32, 128),
-        (64, 16, 16, 256),
-        (128, 32, 32, 128),
-        (128, 16, 16, 256),
-        (64, 8, 8, 256),
+        (64, 32, 128, 128),
+        (128, 32, 128, 128),
+        (64, 16, 256, 256),
+        (128, 16, 256, 256),
+        (128, 8, 256, 256),
     ]:
         bench_shape(b, s, c, cout)
 
