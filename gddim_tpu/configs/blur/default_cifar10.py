@@ -23,6 +23,8 @@ def get_default_configs():
     training.n_jitted_steps = 5
     training.reduce_mean = True
     training.ema_update_freq = 1e9
+    # see cld/default_cifar10.py: TPU hardware PRNG for training streams
+    training.prng_impl = "rbg"
 
     config.sampling = sampling = ml_collections.ConfigDict()
     sampling.method = "order0"

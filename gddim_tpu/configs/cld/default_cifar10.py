@@ -22,6 +22,10 @@ def get_default_configs():
     training.n_jitted_steps = 5
     training.reduce_mean = True
     training.ema_update_freq = 1e9
+    # 'rbg' = TPU hardware PRNG for training streams (dropout/t/noise);
+    # 'threefry' for sharding-invariant bit-exact streams (slower: the
+    # flagship's dropout masks alone cost ~19% of a step under threefry)
+    training.prng_impl = "rbg"
 
     config.sampling = sampling = ml_collections.ConfigDict()
     sampling.n_steps_each = 1

@@ -265,6 +265,8 @@ class ResnetBlockDDPMpp(nn.Module):
             _sow_amax(self, "a2", h)
         if not fuse2:  # eval-time dropout is the identity; skip under fusion
             h = nn.Dropout(self.dropout)(h, deterministic=not train)
+            if train:
+                h = layers.tag_drop_out(h)
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype, allow_quantized=not train)
         if c != out_ch:
             if calibrating and not self.conv_shortcut:
@@ -460,6 +462,8 @@ class ResnetBlockBigGANpp(nn.Module):
             _sow_amax(self, "a2", h)
         if not fuse2:  # eval-time dropout is the identity; skip under fusion
             h = nn.Dropout(self.dropout)(h, deterministic=not train)
+            if train:
+                h = layers.tag_drop_out(h)
         h = conv3x3(h, out_ch, init_scale=self.init_scale, dtype=self.dtype, allow_quantized=not train)
         if c != out_ch or self.up or self.down:
             if calibrating:

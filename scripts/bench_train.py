@@ -23,7 +23,9 @@ NOMINAL_PEAK = 197e12
 FWD_GFLOP_PER_IMG = 34.75  # exact, XLA cost_analysis on the eps fn (PERF.md)
 
 
-def build(dtype: str, remat, batch: int):
+def build(dtype: str, remat, batch: int, dropout=None, grad_only=False):
+    from functools import partial
+
     from gddim_tpu.configs import get_config
     from gddim_tpu.math.cld import CLD
     from gddim_tpu.models import init_model
@@ -34,12 +36,46 @@ def build(dtype: str, remat, batch: int):
     cfg.model.remat = remat
     cfg.training.n_jitted_steps = STEPS
     cfg.training.batch_size = batch
+    if dropout is not None:
+        cfg.model.dropout = dropout
+    # same PRNG the production train loop uses (run_lib.train); override
+    # with JAX_DEFAULT_PRNG_IMPL or config for A/B
+    import os
+
+    if "JAX_DEFAULT_PRNG_IMPL" not in os.environ:
+        jax.config.update(
+            "jax_default_prng_impl",
+            str(getattr(cfg.training, "prng_impl", "rbg")),
+        )
     rng = jax.random.PRNGKey(0)
     model, mstate, params = init_model(rng, cfg)
     sde = CLD.from_config(cfg)
     state = create_train_state(jax.random.PRNGKey(1), cfg, params, mstate)
     loss_fn = make_cld_loss_fn(sde, model, train=True)
-    step = make_train_step(cfg, loss_fn, mesh=None)
+    if grad_only:
+        # decomposition mode: value_and_grad of the loss, scanned, but NO
+        # optimizer update / EMA / state rebuild — isolates fwd+bwd cost
+        import jax as _jax
+        from jax import lax
+
+        @_jax.jit
+        def step(st, batches):
+            def one(carry, b):
+                rng_c = carry
+                rng_c, sr = _jax.random.split(rng_c)
+                (loss, (info, _)), grads = _jax.value_and_grad(
+                    loss_fn, argnums=1, has_aux=True
+                )(sr, st.params, st.model_state, b)
+                # fold the grad tree into a scalar so nothing is DCE'd
+                gsum = sum(
+                    _jax.tree.leaves(_jax.tree.map(lambda g: g.sum(), grads))
+                )
+                info = dict(info, score_loss=info["score_loss"] + 0 * gsum)
+                return rng_c, info
+            _, infos = lax.scan(one, st.rng, batches)
+            return st, _jax.tree.map(jnp.mean, infos)
+    else:
+        step = make_train_step(cfg, loss_fn, mesh=None)
     batch_data = {
         "image": jnp.asarray(
             np.random.default_rng(0).normal(size=(STEPS, batch, 32, 32, 3)),
@@ -71,13 +107,22 @@ def main():
     for spec in cfgs:
         parts = spec.split(",")
         dtype = {"f32": "float32", "bf16": "bfloat16"}[parts[0]]
-        # sremat = selective: save conv outputs, recompute norm/act only
-        remat = "convs" if "sremat" in parts else ("remat" in parts)
+        # sremat = selective: save conv+dropout outputs, recompute norm/act
+        # lremat = lean selective: conv outputs only (fits larger batches)
+        remat = (
+            "convs" if "sremat" in parts
+            else "convs_lean" if "lremat" in parts
+            else ("remat" in parts)
+        )
         batch = next(
             (int(p[1:]) for p in parts if p.startswith("b") and p[1:].isdigit()), 64
         )
+        dropout = 0.0 if "nodrop" in parts else None
+        grad_only = "gradonly" in parts
         try:
-            step, state, batch_data = build(dtype, remat, batch)
+            step, state, batch_data = build(
+                dtype, remat, batch, dropout=dropout, grad_only=grad_only
+            )
             dt = bench(step, state, batch_data)
         except Exception as e:
             print(f"{spec}: FAILED {type(e).__name__}: {e}", flush=True)

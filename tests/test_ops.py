@@ -993,3 +993,45 @@ def test_fused_resblock_pair_v2_matches_reference(rng):
         assert rel < 0.06, rel
     finally:
         rb.RESBLOCK_IMPL = old
+
+
+def test_pick_bt_overrides_respect_vmem_hard_limit(monkeypatch):
+    """GDDIM_RESBLOCK_BT_MAP must apply only where the tile fits Mosaic's
+    16 MB scoped-vmem hard limit (a pair tile at bt=4/32x32 measures ~17 MB
+    and is rejected at compile on hardware — the guard keeps a map entry
+    tuned on singles from taking down wider-cin kernels)."""
+    from gddim_tpu.ops.resblock import _pick_bt
+
+    monkeypatch.setenv("GDDIM_RESBLOCK_BT_MAP", "1024:4")
+    # single 32x32 c=128 (v2 budget): fits -> takes the override
+    assert _pick_bt(64, 32, 32, 128, 128, max_bt=64, work_tiles=3) == 4
+    # pair 32x32 cin=256/384: would blow the hard limit -> falls back
+    assert _pick_bt(64, 32, 32, 256, 128) != 4
+    assert _pick_bt(64, 32, 32, 384, 128) != 4
+    # other shapes unaffected by the 1024-keyed entry
+    assert _pick_bt(64, 16, 16, 256, 256) == _pick_bt_nomap(64, 16, 16, 256, 256)
+
+
+def _pick_bt_nomap(*args, **kw):
+    import os
+
+    from gddim_tpu.ops.resblock import _pick_bt
+
+    old = os.environ.pop("GDDIM_RESBLOCK_BT_MAP", None)
+    try:
+        return _pick_bt(*args, **kw)
+    finally:
+        if old is not None:
+            os.environ["GDDIM_RESBLOCK_BT_MAP"] = old
+
+
+def test_fused_veto_env_disables_supported(monkeypatch):
+    """GDDIM_FUSED_VETO_N routes a level to the unfused XLA path."""
+    from gddim_tpu.ops import resblock as rb
+
+    monkeypatch.setenv("GDDIM_FUSED_VETO_N", "1024")
+    assert not rb.supported((64, 32, 32, 128), 128)
+    monkeypatch.delenv("GDDIM_FUSED_VETO_N")
+    # baseline gate logic unchanged without the env (backend-dependent on
+    # CPU it is False for other reasons; just ensure no exception)
+    rb.supported((64, 32, 32, 128), 128)

@@ -160,3 +160,51 @@ def test_swap_params_from_ema():
     # Adam moments restart at zero
     flat = [np.asarray(x) for x in jax.tree.leaves(new.opt_state) if hasattr(x, "dtype") and x.dtype.kind == "f" and x.ndim > 0]
     assert flat and all(np.allclose(x, 0.0) for x in flat)
+
+
+def test_remat_modes_grads_match():
+    """remat=False / True / 'convs' / 'convs_lean' are pure memory policies:
+    loss AND grads must be bit-comparable on a tiny NCSN++ (the 'convs'
+    policy additionally saves post-dropout activations — the saved tensor
+    must equal what the recompute would have produced)."""
+    def make_cfg(remat_mode):
+        # fresh config per mode: ml_collections type-locks the remat field
+        # to whatever type first creates it (bool vs str)
+        cfg = get_config("cld/simple_cifar10")
+        cfg.model.nf = 32
+        cfg.model.num_res_blocks = 1
+        cfg.model.ch_mult = (1, 2)
+        cfg.model.attn_resolutions = (16,)
+        cfg.model.dropout = 0.1
+        cfg.training.batch_size = 4
+        cfg.model.remat = remat_mode
+        return cfg
+
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 32, 32, 3)) * 0.3,
+            jnp.float32,
+        )
+    }
+    rng = jax.random.PRNGKey(0)
+    results = {}
+    for mode in (False, True, "convs", "convs_lean"):
+        cfg = make_cfg(mode)
+        model, mstate, params = init_model(jax.random.PRNGKey(cfg.seed), cfg)
+        sde = CLD.from_config(cfg)
+        loss_fn = make_cld_loss_fn(sde, model, train=True)
+        (loss, _), grads = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(
+            rng, params, mstate, batch
+        )
+        results[mode] = (float(loss), grads)
+
+    base_loss, base_grads = results[False]
+    for mode in (True, "convs", "convs_lean"):
+        loss, grads = results[mode]
+        assert abs(loss - base_loss) < 1e-5 * max(1.0, abs(base_loss)), mode
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+            ),
+            base_grads, grads,
+        )
