@@ -87,7 +87,8 @@ def get_default_configs():
 
     config.mesh = mesh = ml_collections.ConfigDict()
     mesh.data_axis = -1
-    mesh.fsdp_axis = 1
+    mesh.fsdp_axis = 1  # ZeRO-3-shard params/moments over this many devices
+    mesh.tp_axis = 1  # Megatron-style channel TP over this many devices
 
     return config
 

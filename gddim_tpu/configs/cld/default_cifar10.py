@@ -110,7 +110,8 @@ def get_default_configs():
     # parallelism (TPU-native additions; 1-axis data parallel by default)
     config.mesh = mesh = ml_collections.ConfigDict()
     mesh.data_axis = -1  # -1: all devices
-    mesh.fsdp_axis = 1  # shard params over this many devices (1 = replicate)
+    mesh.fsdp_axis = 1  # ZeRO-3-shard params/moments over this many devices
+    mesh.tp_axis = 1  # Megatron-style channel TP over this many devices
 
     return config
 

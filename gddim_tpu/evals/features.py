@@ -90,7 +90,12 @@ def run_features_sharded(extractor: FeatureExtractor, images: np.ndarray,
         def apply_fn(x):
             return base_apply(jax.device_put(x, sharding))
 
-    n_dev = mesh.devices.size if mesh is not None else 1
+    n_dev = 1
+    if mesh is not None:  # P('data') needs divisibility by the data axis only
+        n_dev = (
+            mesh.shape["data"] if "data" in mesh.axis_names
+            else mesh.devices.size
+        )
     for i in range(0, n, batch_size):
         chunk = images[i : i + batch_size]
         valid = len(chunk)

@@ -1,5 +1,9 @@
 from gddim_tpu.parallel.mesh import (
     make_mesh,
+    make_mesh_2d,
+    make_mesh_3d,
+    fsdp_shard_params,
+    tp_shard_params,
     replicate_to_mesh,
     shard_batch,
     batch_sharding,

@@ -34,6 +34,15 @@ def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
     return Mesh(grid, ("data", "model"))
 
 
+def make_mesh_3d(n_data: int, n_fsdp: int, n_model: int, devices=None) -> Mesh:
+    """3-D (data, fsdp, model) mesh: batch DP x ZeRO-3 x channel TP."""
+    devices = devices if devices is not None else jax.devices()
+    total = n_data * n_fsdp * n_model
+    assert total <= len(devices), (total, len(devices))
+    grid = np.asarray(devices[:total]).reshape(n_data, n_fsdp, n_model)
+    return Mesh(grid, ("data", "fsdp", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding over the 'data' mesh axis."""
     return NamedSharding(mesh, P("data"))
@@ -101,5 +110,50 @@ def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**16,
                 spec[dim] = axis
                 return put_full_value(x, NamedSharding(mesh, P(*spec)))
         return put_full_value(x, replicated(mesh))
+
+    return jax.tree.map(shard_one, params)
+
+
+def tp_shard_params(params, mesh: Mesh, axis: str = "model",
+                    fsdp_axis: str | None = None, min_size: int = 2**12):
+    """Megatron-style channel tensor parallelism, expressed through shardings.
+
+    Every >=2-D weight above `min_size` is sharded on its OUTPUT-channel
+    (last) dimension over `axis` — conv kernels (kh, kw, cin, cout),
+    dense/NIN matrices (cin, cout) — so each device holds a channel slice of
+    every layer. XLA's SPMD partitioner then derives the column-/row-parallel
+    schedule the Megatron pattern hand-writes: activations stay
+    channel-sharded through a block, and a contraction whose input channels
+    arrive sharded becomes a partial sum with an all-reduce over `axis`
+    (the scaling-book recipe — annotate shardings, let XLA insert the
+    collectives; no hand-written psum needed). 1-D vectors (biases, norm
+    scales) replicate: they are tiny and XLA fuses the broadcast-add.
+
+    With `fsdp_axis`, the largest remaining dimension divisible by that axis
+    size is additionally ZeRO-3-sharded (weights all-gather on use,
+    gradients reduce-scatter), composing TP x FSDP on one mesh
+    (make_mesh_3d). Replaces what the reference would need NCCL model
+    parallelism for — it has none (SURVEY.md §2.3: pmap DP only).
+    """
+    n = int(mesh.shape[axis])
+    n_f = int(mesh.shape[fsdp_axis]) if fsdp_axis else 1
+
+    def shard_one(x):
+        if x.ndim < 2 or x.size < min_size:
+            return put_full_value(x, replicated(mesh))
+        spec = [None] * x.ndim
+        if x.shape[-1] % n == 0:
+            spec[-1] = axis
+        if fsdp_axis:
+            rest = [
+                d for d in range(x.ndim - 1)
+                if x.shape[d] % n_f == 0 and x.shape[d] > 1
+            ]
+            if rest:
+                dim = max(rest, key=lambda d: x.shape[d])
+                spec[dim] = fsdp_axis
+        if all(s is None for s in spec):
+            return put_full_value(x, replicated(mesh))
+        return put_full_value(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(shard_one, params)

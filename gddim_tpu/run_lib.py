@@ -90,6 +90,62 @@ def _ema_variables(state):
 # ---------------------------------------------------------------------------
 
 
+def _place_train_state(config, state):
+    """Build the training mesh from config.mesh and place the state on it.
+
+    config.mesh knobs (all optional): `fsdp_axis` — ZeRO-3-shard the large
+    parameter/optimizer leaves over that many devices; `tp_axis` —
+    Megatron-style channel tensor parallelism over that many devices
+    (parallel/mesh.py:tp_shard_params); the rest of the devices form the
+    'data' axis. Default (both 1): 1-D data-parallel mesh, state replicated —
+    the TPU-native equivalent of the reference's pmap layout
+    (cld_jax/run_lib.py:144-157).
+    """
+    from gddim_tpu.parallel.mesh import (
+        fsdp_shard_params,
+        make_mesh_2d,
+        make_mesh_3d,
+        tp_shard_params,
+    )
+
+    mesh_cfg = getattr(config, "mesh", None)
+    n_fsdp = max(1, int(getattr(mesh_cfg, "fsdp_axis", 1) or 1))
+    n_tp = max(1, int(getattr(mesh_cfg, "tp_axis", 1) or 1))
+    n_dev = jax.device_count()
+    assert n_dev % (n_fsdp * n_tp) == 0, (n_dev, n_fsdp, n_tp)
+    n_data = n_dev // (n_fsdp * n_tp)
+
+    if n_fsdp == 1 and n_tp == 1:
+        mesh = make_mesh()
+        return mesh, replicate_to_mesh(state, mesh), (
+            lambda s: replicate_to_mesh(s, mesh)
+        )
+    if n_tp == 1:
+        mesh = make_mesh_2d(n_data, n_fsdp)
+        shard = lambda tree: fsdp_shard_params(tree, mesh, axis="model")
+    elif n_fsdp == 1:
+        mesh = make_mesh_2d(n_data, n_tp)
+        shard = lambda tree: tp_shard_params(tree, mesh, axis="model")
+    else:
+        mesh = make_mesh_3d(n_data, n_fsdp, n_tp)
+        shard = lambda tree: tp_shard_params(
+            tree, mesh, axis="model", fsdp_axis="fsdp"
+        )
+
+    def place(s):
+        # optimizer moments follow the param shardings (ZeRO's point);
+        # scalar leaves (step counts) fall under the min-size cutoff and
+        # replicate
+        s = replicate_to_mesh(s, mesh)
+        return s.replace(
+            params=shard(s.params),
+            params_ema=shard(s.params_ema),
+            opt_state=shard(s.opt_state),
+        )
+
+    return mesh, place(state), place
+
+
 def train(config, workdir: str):
     # TPU-native hardware PRNG for the training streams (dropout masks,
     # t-draws, perturbation noise): threefry mask generation costs ~19% of a
@@ -135,8 +191,7 @@ def _train(config, workdir: str):
     state, initial_step = mgr.restore_latest_meta(state)
     initial_step = int(np.asarray(state.step))
 
-    mesh = make_mesh()
-    state = replicate_to_mesh(state, mesh)
+    mesh, state, place_state = _place_train_state(config, state)
 
     n_jitted = int(config.training.n_jitted_steps)
     train_iter, _ = get_dataset(
@@ -239,8 +294,8 @@ def _train(config, workdir: str):
         if step != initial_step and cur % ema_update_freq < n_jitted:
             from gddim_tpu.train.state import swap_params_from_ema
 
-            state = replicate_to_mesh(
-                swap_params_from_ema(jax.device_get(state), config), mesh
+            state = place_state(
+                swap_params_from_ema(jax.device_get(state), config)
             )
             logger.info("step %d: update params from ema", cur)
 

@@ -79,7 +79,12 @@ def build_blur_sampler(config, sde: BlurSDE, yeps_apply, data_shape,
 
 
 def _maybe_shard(u0, mesh):
-    if mesh is None or u0.shape[0] % mesh.devices.size != 0:
+    if mesh is None:
+        return u0
+    # P('data') only needs divisibility by the DATA axis (other axes on a
+    # multi-axis mesh shard params, not the batch)
+    n_data = mesh.shape["data"] if "data" in mesh.axis_names else mesh.devices.size
+    if u0.shape[0] % n_data != 0:
         return u0
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -130,12 +130,19 @@ def build_cld_sampler(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         batch_sharding = NamedSharding(mesh, P("data"))
+        # P('data') only needs the batch divisible by the DATA axis — on a
+        # multi-axis (data, fsdp, model) mesh the other axes shard params,
+        # not the batch.
+        n_data = (
+            mesh.shape["data"] if "data" in mesh.axis_names
+            else mesh.devices.size
+        )
 
     def sample_fn(rng, variables, batch_size=None, u0=None):
         if u0 is None:
             prior_rng, rng = jax.random.split(rng)
             u0 = sde.prior_sampling(prior_rng, (batch_size,) + tuple(data_shape))
-        if mesh is not None and u0.shape[0] % mesh.devices.size == 0:
+        if mesh is not None and u0.shape[0] % n_data == 0:
             u0 = jax.device_put(u0, batch_sharding)
         x, v = _run(rng, variables, u0)
         return x, v, nfe
