@@ -231,7 +231,12 @@ def main():
                 ips = measure(args.family, mode, b, args.reps, smoke,
                               conv_impl=args.conv, static_scales=args.static)
             except Exception as e:  # e.g. VMEM OOM at a large batch
-                print(f"# {mode} batch={b}: failed ({type(e).__name__})", flush=True)
+                # print the message, not just the class: a systematic bug at
+                # the large-batch point must not be silently absorbed by the
+                # sweep (only VMEM/resource failures are expected here)
+                msg = str(e).split("\n")[0][:160]
+                print(f"# {mode} batch={b}: failed ({type(e).__name__}: {msg})",
+                      flush=True)
                 continue
             print(f"# {mode} batch={b}: {ips:.2f} img/s", flush=True)
             best = max(best, ips)
@@ -244,7 +249,9 @@ def main():
     if "ref" in results:
         baseline = results["ref"]
         if not smoke:
-            cache[args.family] = {"ref_ips": baseline, "backend": backend}
+            entry = dict(cache.get(args.family, {}))
+            entry.update({"ref_ips": baseline, "backend": backend})
+            cache[args.family] = entry
             BASELINE_CACHE.write_text(json.dumps(cache))
     elif args.family in cache:
         baseline = float(cache[args.family]["ref_ips"])
@@ -252,6 +259,33 @@ def main():
         baseline = None
 
     value = results.get("opt", results.get("ref"))
+
+    # regression tracking: record the opt number alongside the cached ref so
+    # a driver-visible artifact (not PERF.md prose) carries both families
+    if "opt" in results and not smoke:
+        entry = dict(cache.get(args.family, {}))
+        entry["opt_ips"] = round(results["opt"], 3)
+        cache[args.family] = entry
+        BASELINE_CACHE.write_text(json.dumps(cache))
+
+    # driver runs plain `python bench.py` (cld): piggyback a blur opt point
+    # at the headline batch so the blur family is regression-tracked in every
+    # BENCH_r{N}.json, not only in PERF.md prose (round-3 verdict #3). The
+    # compile cache makes this cheap on repeat runs.
+    if args.family == "cld" and args.mode == "opt" and not smoke:
+        try:
+            blur_ips = measure("blur", "opt", 128, args.reps, smoke,
+                               conv_impl=args.conv, static_scales=args.static)
+            blur_ref = cache.get("blur", {}).get("ref_ips")
+            vs = f" = {blur_ips / float(blur_ref):.3f}x vs ref" if blur_ref else ""
+            print(f"# blur: {blur_ips:.2f} img/s{vs}", flush=True)
+            entry = dict(cache.get("blur", {}))
+            entry["opt_ips"] = round(blur_ips, 3)
+            cache["blur"] = entry
+            BASELINE_CACHE.write_text(json.dumps(cache))
+        except Exception as e:
+            msg = str(e).split("\n")[0][:160]
+            print(f"# blur: failed ({type(e).__name__}: {msg})", flush=True)
     out = {
         "metric": METRICS[args.family],
         "value": round(value, 3),

@@ -376,11 +376,11 @@ class ResnetBlockBigGANpp(nn.Module):
         if parts is not None:  # every non-pair path consumes the concat
             x = jnp.concatenate(parts, axis=-1)
 
-        # up/down transition blocks: GN1+SiLU and the FIR resample run at the
-        # pre/post-resample resolutions, then the remainder (conv1+temb+GN2+
-        # SiLU+conv2+conv1x1-skip) runs as one fused tail kernel — the six
-        # transition blocks per forward no longer fall through to the fully
-        # unfused path (ops/resblock.py:fused_resblock_tail).
+        # up/down transition blocks: the whole block — GN1+SiLU, the FIR
+        # resample of BOTH paths (polyphase, in VMEM), conv1+temb+GN2+SiLU+
+        # conv2+conv1x1-skip — runs as ONE kernel (round 4: kills the 4 HBM
+        # passes the round-3 tail path spent on norm_act + two XLA FIR
+        # resamples; ops/resblock.py:fused_resblock_transition).
         if (
             layers.CONV3X3_IMPL in ("fused", "fused_int8")
             and not train
@@ -390,6 +390,33 @@ class ResnetBlockBigGANpp(nn.Module):
             and self.act is nn.swish
             and not self.is_initializing()
         ):
+            mmdt = (
+                jnp.int8 if layers.CONV3X3_IMPL == "fused_int8"
+                else resblock_ops.MM_DTYPE
+            )
+            if resblock_ops.transition_supported(
+                x.shape, out_ch, self.up, self.fir, self.fir_kernel
+            ):
+                vs = self.variables["params"]
+                temb_proj = (
+                    self.act(temb).astype(jnp.float32)
+                    @ vs["Dense_0"]["kernel"].astype(jnp.float32)
+                    + vs["Dense_0"]["bias"].astype(jnp.float32)
+                )
+                return resblock_ops.fused_resblock_transition(
+                    x, temb_proj,
+                    vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
+                    vs["Conv_0"]["kernel"], vs["Conv_0"]["bias"],
+                    vs["GroupNorm_1"]["scale"], vs["GroupNorm_1"]["bias"],
+                    vs["Conv_1"]["kernel"], vs["Conv_1"]["bias"],
+                    vs["Conv_2"]["kernel"][0, 0], vs["Conv_2"]["bias"],
+                    up=self.up, fir=self.fir, fir_kernel=self.fir_kernel,
+                    num_groups1=min(c // 4, 32),
+                    num_groups2=min(out_ch // 4, 32),
+                    skip_rescale=self.skip_rescale,
+                    mm_dtype=mmdt,
+                    act_scales=_static_scales(self, "a1", "a2", None),
+                )
             b_, hh_, ww_, _ = x.shape
             hw2 = (hh_ * 2, ww_ * 2) if self.up else (hh_ // 2, ww_ // 2)
             if resblock_ops.supported((b_,) + hw2 + (c,), out_ch):

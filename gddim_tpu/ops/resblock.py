@@ -1012,6 +1012,383 @@ def fused_resblock_tail(
     return out.reshape(b, hh, ww, cout)
 
 
+def _fir_up_2d(r0, r1, r2, h, w, c, kern_h, kern_w):
+    """r0/r1/r2: (h, (w+2)*c) row windows [0:h],[1:h+1],[2:h+2] of the padded
+    sample -> (4*h*w, c): factor-2 FIR upsample.
+
+    Polyphase form of the zero-insert+filter pipeline (models/resample.py):
+    out[2j] = kh0*x[j-1] + kh2*x[j]; out[2j+1] = kh1*x[j] + kh3*x[j+1],
+    per axis. kern_h carries the H-axis gain (gain*factor^2), kern_w is the
+    plain flipped taps. The three row windows must be loaded SEPARATELY from
+    the ref: a value slice at an odd sublane offset carries a {1,0} layout
+    that Mosaic's concatenate rejects, while fresh ref loads are canonically
+    laid out (validated on-chip, scripts/exp_fir_inkernel). The phase
+    interleave is a lane-dim concatenate + a minor-splitting rank-2 reshape
+    (row-major identity) — no strided slices, no gathers.
+    """
+    e = kern_h[0] * r0 + kern_h[2] * r1
+    o = kern_h[1] * r1 + kern_h[3] * r2
+    wp = r0.shape[1]  # (w+2)*c
+    u = jnp.concatenate([e, o], axis=1).reshape(2 * h, wp)
+    ew = kern_w[0] * u[:, 0 : w * c] + kern_w[2] * u[:, c : (w + 1) * c]
+    ow = kern_w[1] * u[:, c : (w + 1) * c] + kern_w[3] * u[:, 2 * c : (w + 2) * c]
+    cat = jnp.concatenate(
+        [ew.reshape(2 * h * w, c), ow.reshape(2 * h * w, c)], axis=1
+    )
+    return cat.reshape(4 * h * w, c)
+
+
+def _fir_down_2d(p2, h, w, c, kern_h, kern_w):
+    """(h+2, (w+2)*c) padded sample -> (h//2 * w//2, c): factor-2 FIR down.
+
+    out[o] = sum_a kern[a] * x[2o + a - 1] per axis (4 taps, stride 2).
+    Phase de-interleave = minor-splitting reshape + 128-aligned lane slices.
+    """
+    wp = p2.shape[1]
+    a01 = p2[0:h, :].reshape(h // 2, 2 * wp)
+    a23 = p2[2 : h + 2, :].reshape(h // 2, 2 * wp)
+    t = (
+        kern_h[0] * a01[:, :wp]
+        + kern_h[1] * a01[:, wp:]
+        + kern_h[2] * a23[:, :wp]
+        + kern_h[3] * a23[:, wp:]
+    )  # (h/2, (w+2)c): H done, W still padded
+    tp = t.reshape(h // 2 * (w + 2) // 2, 2 * c)
+    ev = tp[:, :c].reshape(h // 2, (w + 2) // 2 * c)
+    od = tp[:, c:].reshape(h // 2, (w + 2) // 2 * c)
+    y = (
+        kern_w[0] * ev[:, 0 : w // 2 * c]
+        + kern_w[1] * od[:, 0 : w // 2 * c]
+        + kern_w[2] * ev[:, c : c + w // 2 * c]
+        + kern_w[3] * od[:, c : c + w // 2 * c]
+    )
+    return y.reshape(h // 2 * w // 2, c)
+
+
+def _transition_kerns(up: bool, fir: bool, fir_kernel) -> tuple:
+    """-> (kern_h, kern_w) 4-float phase coefficients for the in-kernel
+    resample, reproducing models/resample semantics exactly:
+    upsample_2d/downsample_2d for fir, naive_{up,down}sample_2d otherwise."""
+    if fir:
+        k1d = np.asarray(fir_kernel, np.float64)
+        k1d = (k1d / k1d.sum())[::-1]  # reference convolves the flipped taps
+        assert k1d.shape[0] == 4, "transition kernel supports 4-tap FIR"
+        kw = tuple(float(v) for v in k1d)
+        kh = tuple(4.0 * v for v in k1d) if up else kw  # H carries the gain
+        return kh, kw
+    if up:  # nearest: out[2j] = out[2j+1] = x[j]
+        return (0.0, 1.0, 1.0, 0.0), (0.0, 1.0, 1.0, 0.0)
+    return (0.0, 0.5, 0.5, 0.0), (0.0, 0.5, 0.5, 0.0)  # 2x2 mean
+
+
+def _resblock_transition_kernel(
+    x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref, w1sc_ref,
+    gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
+    wskip_ref, bskip_ref, wsksc_ref, *rest,
+    bt, h_in, w_in, h, w, cin, cout, inv_n1, inv_n2, eps, rescale, mm_dtype,
+    up, kern_h, kern_w, static_scales=False, static_skip=True,
+):
+    """Whole up/down transition block in one kernel (one HBM read of x, one
+    write of out): GN1+SiLU at the input resolution -> in-kernel factor-2
+    resample of BOTH the activation and the raw residual -> conv1+bias+temb
+    -> GN2+SiLU -> conv2+bias -> conv1x1 skip + residual.
+
+    Replaces the round-3 tail path (norm_act + two XLA FIR passes + tail
+    kernel), which cost 4 extra HBM passes over the post-resample-size
+    tensors per transition block. pad_in_ref (input-res padded scratch,
+    model dtype) is shared between the two resample sites: stage 1 fills it
+    with silu(GN1(x)), stage 3 refills it with raw x for the skip.
+    """
+    rest = list(rest)
+    qs_ref = rest.pop(0) if static_scales else None
+    o_ref, pad_in_ref, hpad_ref, hpad2_ref = rest
+    int8 = mm_dtype == jnp.int8
+    n_out = h * w
+    wpc = (w_in + 2) * cin
+
+    def fir2(s):
+        """Resample pad_in_ref[s] (input-res padded scratch) -> (h*w, cin).
+
+        Up loads its three row windows as separate ref loads (Mosaic layout
+        requirement, see _fir_up_2d); down reads the whole padded sample.
+        """
+        if up:
+            r0 = pad_in_ref[s, 0:h_in].reshape(h_in, wpc).astype(jnp.float32)
+            r1 = pad_in_ref[s, 1 : h_in + 1].reshape(h_in, wpc).astype(jnp.float32)
+            r2 = pad_in_ref[s, 2 : h_in + 2].reshape(h_in, wpc).astype(jnp.float32)
+            return _fir_up_2d(r0, r1, r2, h_in, w_in, cin, kern_h, kern_w)
+        p2 = pad_in_ref[s].reshape(h_in + 2, wpc).astype(jnp.float32)
+        return _fir_down_2d(p2, h_in, w_in, cin, kern_h, kern_w)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_borders():
+        pad_in_ref[...] = jnp.zeros_like(pad_in_ref)
+        hpad_ref[...] = jnp.zeros_like(hpad_ref)
+        hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+
+    # --- GN1 + SiLU at input res, resample, quantize, per sample -----------
+    s1s = []
+    for s in range(bt):
+        a1 = _gn_silu_2d(
+            x_ref[s].astype(jnp.float32), p1_ref[...], gn1s_ref[0],
+            gn1b_ref[0], inv_n1, eps,
+        )
+        pad_in_ref[s, 1 : h_in + 1, 1 : w_in + 1, :] = a1.reshape(
+            h_in, w_in, cin
+        ).astype(pad_in_ref.dtype)
+        hr = fir2(s)  # (n_out, cin)
+        if int8:
+            if static_scales:
+                hr = _quant_2d_static(hr, qs_ref[0, 0])
+            else:
+                hr, sc = _quant_2d(hr)
+                s1s.append(sc)
+        hpad_ref[s, 1 : h + 1, 1 : w + 1, :] = hr.reshape(h, w, cin).astype(
+            hpad_ref.dtype
+        )
+
+    # --- conv1 (batched) + bias + temb, then GN2 + SiLU per sample ---------
+    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
+    s2s = []
+    for s in range(bt):
+        acc_s = acc[s * n_out : (s + 1) * n_out].astype(jnp.float32)
+        if int8:
+            acc_s = acc_s * (w1sc_ref[0] if static_scales else s1s[s] * w1sc_ref[0])
+        acc_s = acc_s + b1_ref[0] + temb_ref[s, 0:1, :]
+        a2 = _gn_silu_2d(
+            acc_s, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps
+        )
+        if int8:
+            if static_scales:
+                a2 = _quant_2d_static(a2, qs_ref[0, 1])
+            else:
+                a2, sc2 = _quant_2d(a2)
+                s2s.append(sc2)
+        hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2.reshape(h, w, cout).astype(
+            hpad2_ref.dtype
+        )
+
+    # --- conv2 (batched) + per-sample epilogue: resampled skip + residual --
+    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
+    for s in range(bt):
+        h_s = acc2[s * n_out : (s + 1) * n_out].astype(jnp.float32)
+        if int8:
+            h_s = h_s * (w2sc_ref[0] if static_scales else s2s[s] * w2sc_ref[0])
+        h_s = h_s + b2_ref[0]
+        # refill the shared input-res scratch with RAW x and resample it for
+        # the shortcut (borders still zero: interior-only writes)
+        pad_in_ref[s, 1 : h_in + 1, 1 : w_in + 1, :] = (
+            x_ref[s].reshape(h_in, w_in, cin).astype(pad_in_ref.dtype)
+        )
+        x_rs = fir2(s)  # (n_out, cin)
+        if int8 and static_scales and static_skip:
+            xq = _quant_2d_static(x_rs, qs_ref[0, 2])
+            skip = jax.lax.dot_general(
+                xq, wskip_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * wsksc_ref[0] + bskip_ref[0]
+        else:
+            wdt = jnp.bfloat16 if int8 else mm_dtype
+            skip = jax.lax.dot_general(
+                x_rs.astype(wdt), wskip_ref[...].astype(wdt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bskip_ref[0]
+        out = skip + h_s
+        if rescale:
+            out = out * _INV_SQRT2
+        o_ref[s] = out.astype(o_ref.dtype)
+
+
+def _pick_bt_transition(b, h_in, w_in, cin, cout, up: bool) -> int:
+    """VMEM-budgeted batch tile for the transition kernel: x block at input
+    res, out block + conv scratches at output res, one shared input-res
+    padded scratch, resident weights, and f32 working tiles at the larger
+    of the two resolutions."""
+
+    def pad(n, m):
+        return -(-n // m) * m
+
+    h, w = (2 * h_in, 2 * w_in) if up else (h_in // 2, w_in // 2)
+    n_big = max(h_in * w_in, h * w)
+
+    def est(bt):
+        x_blk = bt * pad(h_in * w_in, 8) * pad(cin, 128) * 2
+        o_blk = bt * pad(h * w, 8) * pad(cout, 128) * 2
+        pad_in = bt * (h_in + 2) * pad(w_in + 2, 16) * pad(cin, 128) * 2
+        scr = bt * (h + 2) * pad(w + 2, 16) * (pad(cin, 128) + pad(cout, 128)) * 2
+        work = 2 * bt * n_big * max(cin, cout) * 4
+        return 2 * x_blk + 2 * o_blk + pad_in + scr + work
+
+    weights = (9 * (cin * cout + cout * cout) + cin * cout) * 2 + (
+        cin * cin + cout * cout
+    ) * 4
+    budget = 11 * 2**20
+    bt_env = int(_os.environ.get("GDDIM_TRANSITION_BT", "0"))
+    if bt_env and b % bt_env == 0:
+        return bt_env
+    for bt in (16, 8, 4, 2, 1):
+        if b % bt:
+            continue
+        if est(bt) + weights <= budget:
+            return bt
+    return 1
+
+
+def transition_supported(x_shape, cout: int, up: bool, fir: bool, fir_kernel) -> bool:
+    b, h_in, w_in, c = x_shape
+    if fir and len(fir_kernel) != 4:
+        return False
+    h, w = (2 * h_in, 2 * w_in) if up else (h_in // 2, w_in // 2)
+    return (
+        jax.default_backend() == "tpu"
+        and _os.environ.get("GDDIM_TRANSITION_IMPL", "full") == "full"
+        and c % 128 == 0
+        and cout % 128 == 0
+        and h_in % 2 == 0
+        and w_in % 2 == 0
+        and (h + 2) * (w + 2) * (c + cout) * 2 < 10 * 2**20
+        and (h_in + 2) * (w_in + 2) * c * 2 < 6 * 2**20
+    )
+
+
+def fused_resblock_transition(
+    x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
+    w_skip, b_skip, *, up: bool, fir: bool, fir_kernel=(1, 3, 3, 1),
+    num_groups1: int, num_groups2: int, eps: float = 1e-6,
+    skip_rescale: bool = True, mm_dtype=None, act_scales=None,
+):
+    """Whole transition block (reference layerspp.py:180-227 with up/down)
+    fused into one kernel — see _resblock_transition_kernel.
+
+    x: (B, H, W, C) PRE-resample; w_skip: (C, Cout) REQUIRED. act_scales:
+    (s1, s2, sx) where s1/sx were calibrated POST-resample (matching the
+    sow sites in models/blocks.py) — the in-kernel quantization also runs
+    post-resample, so calibrations transfer unchanged.
+    """
+    mm_dtype = mm_dtype or MM_DTYPE
+    int8 = mm_dtype == jnp.int8
+    static = bool(int8 and act_scales is not None)
+    b, h_in, w_in, c = x.shape
+    cout = w1.shape[-1]
+    h, w = (2 * h_in, 2 * w_in) if up else (h_in // 2, w_in // 2)
+    kern_h, kern_w = _transition_kerns(up, fir, fir_kernel)
+    bt = _pick_bt_transition(b, h_in, w_in, c, cout, up)
+
+    def prep_w(wm, shape, quant=None):
+        quant = int8 if quant is None else quant
+        wm = jnp.asarray(wm, jnp.float32).reshape(shape)
+        if not quant:
+            dt = jnp.bfloat16 if (int8 or mm_dtype == jnp.bfloat16) else wm.dtype
+            return wm.astype(dt), jnp.ones((1, shape[-1]), jnp.float32)
+        axes = tuple(range(wm.ndim - 1))
+        sc = jnp.maximum(jnp.abs(wm).max(axis=axes), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(wm / sc), -127, 127).astype(jnp.int8)
+        return q, sc.reshape(1, -1)
+
+    inv_n1 = 1.0 / (h_in * w_in * (c // num_groups1))
+    inv_n2 = 1.0 / (h * w * (cout // num_groups2))
+    static_skip = bool(static and act_scales[2] is not None)
+    kernel = functools.partial(
+        _resblock_transition_kernel,
+        bt=bt, h_in=h_in, w_in=w_in, h=h, w=w, cin=c, cout=cout,
+        inv_n1=inv_n1, inv_n2=inv_n2, eps=eps, rescale=skip_rescale,
+        mm_dtype=mm_dtype, up=up, kern_h=kern_h, kern_w=kern_w,
+        static_scales=static, static_skip=static_skip,
+    )
+    row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    w1_op, w1_sc = prep_w(w1, (9, c, cout))
+    w2_op, w2_sc = prep_w(w2, (9, cout, cout))
+    wsk_op, wsk_sc = prep_w(w_skip, (c, cout), quant=int8 and static_skip)
+    if static:
+        s1, s2, sx = act_scales
+        w1_sc = w1_sc * s1
+        w2_sc = w2_sc * s2
+        if static_skip:
+            wsk_sc = wsk_sc * sx
+    temb_b = jnp.broadcast_to(
+        jnp.asarray(temb_proj, jnp.float32)[:, None, :], (b, 8, cout)
+    )
+    args = [
+        x.reshape(b, h_in * w_in, c),
+        temb_b,
+        row(gn1_scale), row(gn1_bias), _group_indicator(c, num_groups1),
+        w1_op, row(b1), w1_sc,
+        row(gn2_scale), row(gn2_bias), _group_indicator(cout, num_groups2),
+        w2_op, row(b2), w2_sc,
+        wsk_op,
+        (row(b_skip) if b_skip is not None else jnp.zeros((1, cout), jnp.float32)),
+        wsk_sc,
+    ]
+    if static:
+        args.append(_qs_row(act_scales))
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec(
+                (bt, h_in * w_in, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bt, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            const((1, c)), const((1, c)), const((c, c)),
+            const((9, c, cout)), const((1, cout)), const((1, cout)),
+            const((1, cout)), const((1, cout)), const((cout, cout)),
+            const((9, cout, cout)), const((1, cout)), const((1, cout)),
+            const((c, cout)), const((1, cout)), const((1, cout)),
+        ] + ([const((1, 128))] if static else []),
+        out_specs=pl.BlockSpec(
+            (bt, h * w, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, cout), x.dtype),
+        scratch_shapes=[
+            # input-res resample scratch: bf16 in int8 mode (the unfused path
+            # also resamples at model dtype), mm dtype otherwise (f32 tests)
+            pltpu.VMEM(
+                (bt, h_in + 2, w_in + 2, c),
+                jnp.bfloat16 if int8 else mm_dtype,
+            ),
+            pltpu.VMEM((bt, h + 2, w + 2, c), mm_dtype),
+            pltpu.VMEM((bt, h + 2, w + 2, cout), mm_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 9 * (c * cout + cout * cout),
+            bytes_accessed=b * (h_in * w_in + h * w) * (c + cout) * x.dtype.itemsize,
+            transcendentals=b * (h_in * w_in * c + h * w * cout),
+        ),
+    )(*args)
+    return out.reshape(b, h, w, cout)
+
+
+def resblock_transition_reference(
+    x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
+    w_skip, b_skip, *, up: bool, fir: bool, fir_kernel=(1, 3, 3, 1),
+    num_groups1: int, num_groups2: int, eps: float = 1e-6,
+    skip_rescale: bool = True,
+):
+    """Unfused XLA composition of the whole transition block (oracle)."""
+    from gddim_tpu.models import resample
+    from gddim_tpu.ops.groupnorm import group_norm_silu_reference
+
+    h = group_norm_silu_reference(x, gn1_scale, gn1_bias, num_groups1, eps)
+    if fir:
+        res = resample.upsample_2d if up else resample.downsample_2d
+        h = res(h, fir_kernel, factor=2)
+        xr = res(x, fir_kernel, factor=2)
+    else:
+        naive = resample.naive_upsample_2d if up else resample.naive_downsample_2d
+        h = naive(h, factor=2)
+        xr = naive(x, factor=2)
+    return resblock_tail_reference(
+        h, xr, temb_proj, w1, b1, gn2_scale, gn2_bias, w2, b2, w_skip, b_skip,
+        num_groups2=num_groups2, eps=eps, skip_rescale=skip_rescale,
+    )
+
+
 def resblock_tail_reference(
     h, x_skip, temb_proj, w1, b1, gn2_scale, gn2_bias, w2, b2,
     w_skip, b_skip, *, num_groups2: int, eps: float = 1e-6,

@@ -407,6 +407,131 @@ def test_fused_resblock_tail_matches_reference(rng):
     assert rel < 0.05, rel
 
 
+def test_fused_resblock_transition_matches_reference(rng):
+    """The whole-transition kernel (GN1+SiLU + in-kernel polyphase FIR/naive
+    resample of both paths + conv1+temb+GN2+SiLU+conv2+conv1x1 skip) == the
+    unfused composition, for up/down x fir/naive, f32 exact and int8 within
+    budget."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.resblock import (
+        fused_resblock_transition,
+        resblock_transition_reference,
+    )
+
+    B, H, C, C2 = 2, 8, 128, 128
+    temb = jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, C2)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C2, C2)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    for up in (False, True):
+        for fir in (True, False):
+            x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+            kw = dict(
+                up=up, fir=fir, num_groups1=32, num_groups2=32,
+                skip_rescale=True,
+            )
+            args = (x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs)
+            ref = np.asarray(resblock_transition_reference(*args, **kw))
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(
+                    fused_resblock_transition(*args, mm_dtype=jnp.float32, **kw)
+                )
+            np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+            with pltpu.force_tpu_interpret_mode():
+                got8 = np.asarray(
+                    fused_resblock_transition(*args, mm_dtype=jnp.int8, **kw)
+                )
+            rel = np.abs(got8 - ref).max() / np.abs(ref).max()
+            assert rel < 0.05, (up, fir, rel)
+
+
+def test_fused_resblock_transition_static_scales(rng):
+    """Static-scale int8 mode of the transition kernel (calibrated a1/a2/x
+    inverse scales, amax-free) tracks the f32 oracle within the int8 budget,
+    including the hybrid dynamic-skip variant (sx=None)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.resblock import (
+        act_scales_from_amax,
+        fused_resblock_transition,
+        resblock_transition_reference,
+    )
+
+    B, H, C, C2 = 2, 8, 128, 128
+    x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, C2)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C2, C2)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    kw = dict(up=True, fir=True, num_groups1=32, num_groups2=32, skip_rescale=True)
+    args = (x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs)
+    ref = np.asarray(resblock_transition_reference(*args, **kw))
+    # generous amaxes (as a calibration sweep would produce)
+    a1_amax, a2_amax, x_amax = 4.0, 4.0, float(np.abs(np.asarray(x)).max())
+    for sx in (x_amax, None):  # static and hybrid-dynamic skip
+        scales = act_scales_from_amax((a1_amax, a2_amax, sx))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                fused_resblock_transition(
+                    *args, mm_dtype=jnp.int8, act_scales=scales, **kw
+                )
+            )
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 0.05, (sx, rel)
+
+
+def test_biggan_updown_block_fused_transition_matches_normal(rng):
+    """ResnetBlockBigGANpp with up/down dispatching to the whole-transition
+    kernel matches the composable-module path on identical params."""
+    import flax.linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import ResnetBlockBigGANpp
+    from gddim_tpu.ops import resblock as rb
+
+    temb = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    for up, down, fir in [(True, False, True), (False, True, True), (False, True, False)]:
+        block = ResnetBlockBigGANpp(
+            act=nn.swish, dropout=0.0, up=up, down=down, fir=fir
+        )
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+        params = block.init({"params": jax.random.PRNGKey(0)}, x, temb, train=False)
+        ref = np.asarray(block.apply(params, x, temb, train=False))
+        old_impl, old_tsup, old_mm = (
+            layers.CONV3X3_IMPL, rb.transition_supported, rb.MM_DTYPE
+        )
+        try:
+            layers.CONV3X3_IMPL = "fused"
+            rb.MM_DTYPE = jnp.float32
+            rb.transition_supported = lambda shape, cout, up, fir, fk: (
+                shape[-1] % 128 == 0 and cout % 128 == 0
+            )
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(block.apply(params, x, temb, train=False))
+        finally:
+            layers.CONV3X3_IMPL, rb.transition_supported, rb.MM_DTYPE = (
+                old_impl, old_tsup, old_mm
+            )
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 2e-3, (up, down, fir, rel)
+
+
 def test_biggan_updown_block_fused_tail_matches_normal(rng):
     """ResnetBlockBigGANpp with up/down under conv_impl='fused' (the fused
     tail path) matches the composable-module path on identical params."""
