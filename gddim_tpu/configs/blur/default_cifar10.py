@@ -73,6 +73,7 @@ def get_default_configs():
     model.min_scale = 0.001
     model.dtype = "float32"
     model.attention_impl = "auto"
+    model.fused_train = False
 
     config.optim = optim = ml_collections.ConfigDict()
     optim.weight_decay = 0

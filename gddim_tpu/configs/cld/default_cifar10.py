@@ -95,6 +95,9 @@ def get_default_configs():
     model.dtype = "float32"  # 'bfloat16' for the fast TPU path
     model.attention_impl = "auto"  # 'xla' | 'pallas' | 'auto'
     model.conv_impl = "xla"  # 'xla' | 'pallas' | 'int8' | 'fused' | 'fused_int8'
+    # training-path whole-block fusion: fused bf16 Pallas forward +
+    # XLA-recomputed backward for eligible res-blocks (TPU only)
+    model.fused_train = False
 
     config.optim = optim = ml_collections.ConfigDict()
     optim.weight_decay = 0

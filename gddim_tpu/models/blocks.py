@@ -376,11 +376,65 @@ class ResnetBlockBigGANpp(nn.Module):
         if parts is not None:  # every non-pair path consumes the concat
             x = jnp.concatenate(parts, axis=-1)
 
-        # up/down transition blocks: the whole block — GN1+SiLU, the FIR
-        # resample of BOTH paths (polyphase, in VMEM), conv1+temb+GN2+SiLU+
-        # conv2+conv1x1-skip — runs as ONE kernel (round 4: kills the 4 HBM
-        # passes the round-3 tail path spent on norm_act + two XLA FIR
-        # resamples; ops/resblock.py:fused_resblock_transition).
+        # TRAINING whole-block fusion (model.fused_train): fused bf16 Pallas
+        # forward with the dropout mask applied in-kernel; backward = jax.vjp
+        # of the unfused composition recomputed from the block inputs
+        # (ops/resblock.py:make_fused_resblock_train). Gradients are exactly
+        # the unfused path's; interior activations are never materialized in
+        # HBM (the custom_vjp saves only x + mask + param refs), so this
+        # replaces remat for the eligible blocks.
+        if (
+            layers.FUSED_TRAIN
+            and train
+            and not calibrating
+            and not self.up and not self.down
+            and temb is not None
+            and self.act is nn.swish
+            and not self.is_initializing()
+            and resblock_ops.supported(x.shape, out_ch)
+        ):
+            vs = self.variables["params"]
+            temb_proj = (
+                self.act(temb).astype(jnp.float32)
+                @ vs["Dense_0"]["kernel"].astype(jnp.float32)
+                + vs["Dense_0"]["bias"].astype(jnp.float32)
+            )
+            has_skip = c != out_ch
+            if has_skip:
+                w_skip, b_skip = vs["Conv_2"]["kernel"][0, 0], vs["Conv_2"]["bias"]
+            else:  # ignored placeholders (zero gradients)
+                w_skip = jnp.zeros((1, 1), x.dtype)
+                b_skip = jnp.zeros((1,), x.dtype)
+            keep_prob = 1.0 - self.dropout
+            bshape = x.shape[:-1] + (out_ch,)
+            if self.dropout > 0.0:
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep_prob, bshape
+                ).astype(jnp.int8)
+            else:
+                mask = jnp.ones(bshape, jnp.int8)
+            f = resblock_ops.make_fused_resblock_train(
+                num_groups1=min(c // 4, 32),
+                num_groups2=min(out_ch // 4, 32),
+                skip_rescale=self.skip_rescale,
+                keep_prob=keep_prob,
+                has_skip=has_skip,
+            )
+            return f(
+                x, temb_proj,
+                vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
+                vs["Conv_0"]["kernel"], vs["Conv_0"]["bias"],
+                vs["GroupNorm_1"]["scale"], vs["GroupNorm_1"]["bias"],
+                vs["Conv_1"]["kernel"], vs["Conv_1"]["bias"],
+                w_skip, b_skip, mask,
+            )
+
+        # up/down transition blocks. A whole-block kernel exists (GN1+SiLU +
+        # in-kernel polyphase FIR of both paths + tail;
+        # ops/resblock.py:fused_resblock_transition) but measured SLOWER
+        # than the tail composition at every flagship shape (round 4,
+        # scripts/exp_transition.py) — transition_supported() therefore
+        # defaults it off; GDDIM_TRANSITION_IMPL=full re-enables.
         if (
             layers.CONV3X3_IMPL in ("fused", "fused_int8")
             and not train

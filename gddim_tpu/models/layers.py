@@ -32,6 +32,12 @@ def default_init(scale: float = 1.0):
 # config.model.conv_impl (consumed by NCSNpp) or directly for benchmarks.
 CONV3X3_IMPL = "xla"
 
+# training-path whole-block fusion selector (config.model.fused_train):
+# when True, eligible residual blocks run the fused bf16 Pallas forward with
+# an XLA-recomputed backward (ops/resblock.py:make_fused_resblock_train).
+# Independent of CONV3X3_IMPL (which governs inference kernels).
+FUSED_TRAIN = False
+
 
 class QuantizedActivation(NamedTuple):
     """Per-sample-quantized activation flowing between fused kernels:

@@ -70,6 +70,7 @@ class NCSNpp(nn.Module):
         from gddim_tpu.models import layers as _layers_mod
 
         _layers_mod.CONV3X3_IMPL = str(getattr(config.model, "conv_impl", "xla"))
+        _layers_mod.FUSED_TRAIN = bool(getattr(config.model, "fused_train", False))
 
         nf = config.model.nf
         ch_mult = config.model.ch_mult

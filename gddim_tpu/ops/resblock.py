@@ -21,8 +21,9 @@ the MXU stays fed even at 8x8/16x16 feature maps. Group statistics use the
 (C, C) same-group indicator matmul (one MXU pass, no lane reshapes).
 
 Applies to stride-1 blocks without in-block resampling, C and C_out
-multiples of 128. Inference-only: the training path keeps the composable
-modules (gradients would need a dedicated backward kernel).
+multiples of 128. Training uses make_fused_resblock_train: the same kernel
+as the forward (with the dropout mask applied in-kernel) and an
+XLA-recomputed backward via jax.custom_vjp.
 """
 
 from __future__ import annotations
@@ -124,6 +125,7 @@ def _resblock_kernel(
     *rest,
     bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
     apply_gn1=True, separate_skip=False, static_scales=False, static_skip=True,
+    has_mask=False, inv_keep=1.0,
 ):
     """bt samples per grid step; all weights + the tiles resident in VMEM.
 
@@ -148,6 +150,7 @@ def _resblock_kernel(
     rest = list(rest)
     xskip_ref = rest.pop(0) if separate_skip else x_ref
     qs_ref = rest.pop(0) if static_scales else None
+    mask_ref = rest.pop(0) if has_mask else None
     o_ref, hpad_ref, hpad2_ref = rest
     int8 = mm_dtype == jnp.int8
     n = h * w
@@ -193,6 +196,8 @@ def _resblock_kernel(
         a2 = _gn_silu_2d(
             acc_s, p2_ref[...], gn2s_ref[0], gn2b_ref[0], inv_n2, eps
         )
+        if has_mask:  # training dropout: mask arrives int8 {0,1}
+            a2 = a2 * (mask_ref[s].astype(jnp.float32) * inv_keep)
         if int8:
             if static_scales:
                 a2 = _quant_2d_static(a2, qs_ref[0, 1])
@@ -247,6 +252,7 @@ def _resblock_kernel_v2(
     *rest,
     bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
     apply_gn1=True, separate_skip=False, static_scales=False, static_skip=True,
+    has_mask=False, inv_keep=1.0,
 ):
     """Loop-free variant of _resblock_kernel (static-scale int8 and bf16
     modes only — no per-sample amax reductions are needed there).
@@ -262,6 +268,7 @@ def _resblock_kernel_v2(
     rest = list(rest)
     xskip_ref = rest.pop(0) if separate_skip else x_ref
     qs_ref = rest.pop(0) if static_scales else None
+    mask_ref = rest.pop(0) if has_mask else None
     o_ref, hpad_ref, hpad2_ref = rest
     int8 = mm_dtype == jnp.int8
     n = h * w
@@ -304,6 +311,8 @@ def _resblock_kernel_v2(
         acc3 = acc3 * w1sc_ref[...][None]
     acc3 = acc3 + b1_ref[...][None] + temb_ref[:, 0:1, :]
     a2 = gn_silu_tile(acc3, p2_ref[...], gn2s_ref, gn2b_ref, inv_n2)
+    if has_mask:  # training dropout: mask arrives int8 {0,1}
+        a2 = a2 * (mask_ref[...].astype(jnp.float32) * inv_keep)
     if int8:
         a2 = jnp.clip(jnp.round(a2 * qs_ref[0, 1]), -127, 127).astype(jnp.int8)
     for s in range(bt):
@@ -442,7 +451,7 @@ def fused_resblock(
     x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
     w_skip=None, b_skip=None, *, num_groups1: int, num_groups2: int,
     eps: float = 1e-6, skip_rescale: bool = True, mm_dtype=None,
-    act_scales=None,
+    act_scales=None, drop_mask=None, keep_prob: float = 1.0,
 ):
     """Run one full residual block (see module docstring).
 
@@ -453,6 +462,10 @@ def fused_resblock(
 
     act_scales (int8 only): calibrated (s1, s2, sx) static activation scales
     (see act_scales_from_amax) — skips the per-sample amax reductions.
+
+    drop_mask (training): (B, H, W, Cout) int8 {0,1} dropout mask applied
+    after GN2+SiLU as mask/keep_prob (the nn.Dropout semantics); see
+    fused_resblock_train for the differentiable wrapper.
     """
     mm_dtype = mm_dtype or MM_DTYPE
     int8 = mm_dtype == jnp.int8
@@ -460,12 +473,14 @@ def fused_resblock(
     b, h, w_, c = x.shape
     cout = w1.shape[-1]
     has_skip = w_skip is not None
+    has_mask = drop_mask is not None
     if not has_skip:
         assert c == cout, (c, cout)
     body = _kernel_body(static, mm_dtype, n=h * w_)
     v2 = body is _resblock_kernel_v2
     bt = _pick_bt(
-        b, h, w_, c, cout, max_bt=64 if v2 else 16, work_tiles=3 if v2 else 2
+        b, h, w_, c, cout, max_bt=64 if v2 else 16,
+        work_tiles=(3 if v2 else 2) + (1 if has_mask else 0),
     )
 
     def prep_w(wm, shape, quant=None):
@@ -487,6 +502,7 @@ def fused_resblock(
         bt=bt, h=h, w=w_, cin=c, cout=cout, inv_n1=inv_n1, inv_n2=inv_n2,
         eps=eps, has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
         static_scales=static, static_skip=static_skip,
+        has_mask=has_mask, inv_keep=1.0 / keep_prob,
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     w1_op, w1_sc = prep_w(w1, (9, c, cout))
@@ -518,6 +534,8 @@ def fused_resblock(
     ]
     if static:
         args.append(_qs_row(act_scales))
+    if has_mask:
+        args.append(jnp.asarray(drop_mask, jnp.int8).reshape(b, h * w_, cout))
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -536,7 +554,11 @@ def fused_resblock(
             const((1, cout)), const((1, cout)), const((cout, cout)),
             const((9, cout, cout)), const((1, cout)), const((1, cout)),
             const((c, cout)), const((1, cout)), const((1, cout)),
-        ] + ([const((1, 128))] if static else []),
+        ] + ([const((1, 128))] if static else []) + ([
+            pl.BlockSpec(
+                (bt, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ] if has_mask else []),
         out_specs=pl.BlockSpec(
             (bt, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -1240,9 +1262,14 @@ def transition_supported(x_shape, cout: int, up: bool, fir: bool, fir_kernel) ->
     if fir and len(fir_kernel) != 4:
         return False
     h, w = (2 * h_in, 2 * w_in) if up else (h_in // 2, w_in // 2)
+    # default OFF: the whole-transition kernel measured SLOWER than the
+    # tail composition at EVERY flagship shape (scripts/exp_transition.py,
+    # b128: full 5.24 ms vs tail 3.43 ms summed) — the in-kernel per-sample
+    # f32 polyphase FIR serializes on the VPU while XLA's separable FIR conv
+    # pipelines on the MXU. Kept behind GDDIM_TRANSITION_IMPL=full.
     return (
         jax.default_backend() == "tpu"
-        and _os.environ.get("GDDIM_TRANSITION_IMPL", "full") == "full"
+        and _os.environ.get("GDDIM_TRANSITION_IMPL", "off") == "full"
         and c % 128 == 0
         and cout % 128 == 0
         and h_in % 2 == 0
@@ -1443,6 +1470,102 @@ def resblock_reference(
     if skip_rescale:
         out = out * _INV_SQRT2
     return out
+
+
+def resblock_train_reference(
+    x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
+    w_skip, b_skip, mask, *, keep_prob: float, has_skip: bool,
+    num_groups1: int, num_groups2: int, eps: float = 1e-6,
+    skip_rescale: bool = True,
+):
+    """Unfused XLA composition of one TRAINING residual block: the inference
+    oracle plus nn.Dropout applied after GN2+SiLU with an explicit int8 mask
+    (out = h * mask / keep_prob). Computes in x.dtype like the model's train
+    path (bf16 convs when the model runs bf16); this is both the gradient
+    oracle for fused_resblock_train's backward and the non-TPU fallback."""
+    from gddim_tpu.ops.groupnorm import group_norm_silu_reference
+
+    h = group_norm_silu_reference(x, gn1_scale, gn1_bias, num_groups1, eps)
+    h = jax.lax.conv_general_dilated(
+        h, jnp.asarray(w1, h.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(b1, h.dtype) + jnp.asarray(temb_proj, h.dtype)[:, None, None, :]
+    h = group_norm_silu_reference(h, gn2_scale, gn2_bias, num_groups2, eps)
+    if keep_prob < 1.0:
+        h = h * (mask.astype(h.dtype) * jnp.asarray(1.0 / keep_prob, h.dtype))
+    h = jax.lax.conv_general_dilated(
+        h, jnp.asarray(w2, h.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(b2, h.dtype)
+    if has_skip:
+        skip = jnp.einsum("bhwc,cd->bhwd", x, jnp.asarray(w_skip, x.dtype))
+        skip = skip + jnp.asarray(b_skip, x.dtype)
+    else:
+        skip = x
+    out = skip + h
+    if skip_rescale:
+        out = out * _INV_SQRT2
+    return out
+
+
+def make_fused_resblock_train(
+    *, num_groups1: int, num_groups2: int, eps: float = 1e-6,
+    skip_rescale: bool = True, keep_prob: float = 1.0, has_skip: bool,
+    mm_dtype=None,
+):
+    """Differentiable fused residual block for TRAINING (round-4 verdict #4).
+
+    Forward: the fused Pallas kernel (bf16 MXU, one HBM read of x / write of
+    out) with the dropout mask applied in-kernel. Backward: jax.vjp of the
+    unfused XLA composition recomputed from the saved primal inputs — the
+    ops/groupnorm.py custom_vjp pattern scaled to the whole block. Gradients
+    are therefore EXACTLY the unfused path's gradients (same mask), while the
+    forward pass runs at fused-kernel speed; the forward/backward value skew
+    is the kernel-vs-XLA bf16 difference (<1e-3 rel, tests).
+
+    Returns f(x, temb_proj, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias,
+    w2, b2, w_skip, b_skip, mask). mask: (B, H, W, Cout) int8 {0,1}; pass an
+    all-ones mask when keep_prob == 1. When has_skip is False, w_skip/b_skip
+    are ignored placeholders (zero gradients).
+    """
+    mmdt = mm_dtype or jnp.bfloat16
+    ref_kw = dict(
+        keep_prob=keep_prob, has_skip=has_skip, num_groups1=num_groups1,
+        num_groups2=num_groups2, eps=eps, skip_rescale=skip_rescale,
+    )
+
+    @jax.custom_vjp
+    def f(x, temb_proj, gn1s, gn1b, w1, b1, gn2s, gn2b, w2, b2,
+          w_skip, b_skip, mask):
+        if jax.default_backend() == "tpu" and supported(x.shape, w1.shape[-1]):
+            return fused_resblock(
+                x, temb_proj, gn1s, gn1b, w1, b1, gn2s, gn2b, w2, b2,
+                w_skip if has_skip else None, b_skip if has_skip else None,
+                num_groups1=num_groups1, num_groups2=num_groups2, eps=eps,
+                skip_rescale=skip_rescale, mm_dtype=mmdt,
+                drop_mask=mask if keep_prob < 1.0 else None,
+                keep_prob=keep_prob,
+            )
+        return resblock_train_reference(
+            x, temb_proj, gn1s, gn1b, w1, b1, gn2s, gn2b, w2, b2,
+            w_skip, b_skip, mask, **ref_kw,
+        )
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        diff, mask = res[:12], res[12]
+        _, vjp = jax.vjp(
+            lambda *a: resblock_train_reference(*a, mask, **ref_kw), *diff
+        )
+        grads = vjp(g)
+        # integer-dtype primal -> float0 cotangent
+        mask_ct = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+        return (*grads, mask_ct)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def supported(x_shape, cout: int) -> bool:

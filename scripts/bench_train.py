@@ -23,7 +23,8 @@ NOMINAL_PEAK = 197e12
 FWD_GFLOP_PER_IMG = 34.75  # exact, XLA cost_analysis on the eps fn (PERF.md)
 
 
-def build(dtype: str, remat, batch: int, dropout=None, grad_only=False):
+def build(dtype: str, remat, batch: int, dropout=None, grad_only=False,
+          fused_train=False):
     from functools import partial
 
     from gddim_tpu.configs import get_config
@@ -38,6 +39,7 @@ def build(dtype: str, remat, batch: int, dropout=None, grad_only=False):
     cfg.training.batch_size = batch
     if dropout is not None:
         cfg.model.dropout = dropout
+    cfg.model.fused_train = fused_train
     # same PRNG the production train loop uses (run_lib.train); override
     # with JAX_DEFAULT_PRNG_IMPL or config for A/B
     import os
@@ -119,9 +121,14 @@ def main():
         )
         dropout = 0.0 if "nodrop" in parts else None
         grad_only = "gradonly" in parts
+        # fusedfwd = model.fused_train: fused bf16 Pallas block forward with
+        # XLA-recomputed backward (custom_vjp) — usually run with remat OFF,
+        # since the custom_vjp already keeps block interiors out of HBM
+        fused_train = "fusedfwd" in parts
         try:
             step, state, batch_data = build(
-                dtype, remat, batch, dropout=dropout, grad_only=grad_only
+                dtype, remat, batch, dropout=dropout, grad_only=grad_only,
+                fused_train=fused_train,
             )
             dt = bench(step, state, batch_data)
         except Exception as e:
@@ -149,6 +156,22 @@ def main():
             f"of measured ({tfs*1e12/NOMINAL_PEAK*100:4.1f}% of nominal)",
             flush=True,
         )
+        # driver-visible regression record (committed after real-TPU runs):
+        # one JSONL row per spec, appended — the analysis compares the
+        # latest row per spec against history
+        import json
+        from pathlib import Path
+
+        art = Path(__file__).parent.parent / "artifacts" / "bench_train.jsonl"
+        art.parent.mkdir(exist_ok=True)
+        with art.open("a") as fh:
+            fh.write(json.dumps({
+                "spec": spec,
+                "ms_per_step": round(dt * 1e3, 2),
+                "img_per_s": round(batch / dt, 1),
+                "useful_mfu_measured_peak": round(tfs * 1e12 / MEASURED_PEAK, 4),
+                "backend": jax.default_backend(),
+            }) + "\n")
 
 
 if __name__ == "__main__":

@@ -495,6 +495,146 @@ def test_fused_resblock_transition_static_scales(rng):
         assert rel < 0.05, (sx, rel)
 
 
+def test_fused_resblock_train_forward_matches_reference(rng):
+    """The fused kernel with an in-kernel dropout mask (training forward)
+    == the unfused composition with the same mask (f32 exact)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops.resblock import fused_resblock, resblock_train_reference
+
+    B, H, C, C2 = 2, 8, 128, 256
+    x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, C2)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C2, C2)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    keep = 0.9
+    mask = (rng.random((B, H, H, C2)) < keep).astype(np.int8)
+    args = (x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2)
+    ref = np.asarray(resblock_train_reference(
+        *args, ws, bs, jnp.asarray(mask), keep_prob=keep, has_skip=True,
+        num_groups1=32, num_groups2=32,
+    ))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_resblock(
+            *args, ws, bs, num_groups1=32, num_groups2=32,
+            mm_dtype=jnp.float32, drop_mask=jnp.asarray(mask), keep_prob=keep,
+        ))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_fused_resblock_train_gradients_match_unfused(rng):
+    """make_fused_resblock_train's custom_vjp backward == plain autodiff of
+    the unfused composition, for every differentiable input (same mask).
+
+    Runs on CPU, where the wrapper's forward falls back to the reference —
+    which makes the check exact: the custom backward must reproduce the
+    autodiff gradients bit-for-bit up to float noise."""
+    from gddim_tpu.ops.resblock import (
+        make_fused_resblock_train,
+        resblock_train_reference,
+    )
+
+    B, H, C = 2, 8, 128
+    keep = 0.9
+    arrs = dict(
+        x=rng.normal(size=(B, H, H, C)) * 0.5,
+        temb=rng.normal(size=(B, C)),
+        g1s=1 + 0.1 * rng.normal(size=(C,)),
+        g1b=0.1 * rng.normal(size=(C,)),
+        w1=rng.normal(size=(3, 3, C, C)) * 0.05,
+        b1=0.1 * rng.normal(size=(C,)),
+        g2s=1 + 0.1 * rng.normal(size=(C,)),
+        g2b=0.1 * rng.normal(size=(C,)),
+        w2=rng.normal(size=(3, 3, C, C)) * 0.05,
+        b2=0.1 * rng.normal(size=(C,)),
+    )
+    arrs = {k: jnp.asarray(v, jnp.float32) for k, v in arrs.items()}
+    wsp = jnp.zeros((1, 1), jnp.float32)
+    bsp = jnp.zeros((1,), jnp.float32)
+    mask = jnp.asarray((rng.random((B, H, H, C)) < keep).astype(np.int8))
+    f = make_fused_resblock_train(
+        num_groups1=32, num_groups2=32, keep_prob=keep, has_skip=False,
+    )
+    names = list(arrs)
+    vals = [arrs[k] for k in names]
+
+    def loss_fused(*a):
+        return jnp.sum(f(*a, wsp, bsp, mask) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(
+            resblock_train_reference(
+                *a, wsp, bsp, mask, keep_prob=keep, has_skip=False,
+                num_groups1=32, num_groups2=32,
+            ) ** 2
+        )
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(len(vals))))(*vals)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(len(vals))))(*vals)
+    for name, gf, gr in zip(names, g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=1e-5, atol=1e-6, err_msg=name
+        )
+
+
+def test_biggan_block_fused_train_matches_normal(rng):
+    """ResnetBlockBigGANpp in TRAIN mode dispatching to the fused-train
+    kernel (interpret mode) matches the composable-module train path on
+    identical params — values AND parameter gradients (dropout=0 so the two
+    paths share the exact function)."""
+    import flax.linen as nn
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import ResnetBlockBigGANpp
+    from gddim_tpu.ops import resblock as rb
+
+    block = ResnetBlockBigGANpp(act=nn.swish, dropout=0.0, out_ch=256)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(2, 512)).astype(np.float32))
+    params = block.init({"params": jax.random.PRNGKey(0)}, x, temb, train=True)
+
+    def loss(p, fused):
+        old_ft, old_sup, old_mm = layers.FUSED_TRAIN, rb.supported, rb.MM_DTYPE
+        try:
+            layers.FUSED_TRAIN = fused
+            rb.MM_DTYPE = jnp.float32
+            rb.supported = lambda shape, cout: (
+                shape[-1] % 128 == 0 and cout % 128 == 0
+            )
+            out = block.apply(
+                p, x, temb, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+            )
+        finally:
+            layers.FUSED_TRAIN, rb.supported, rb.MM_DTYPE = old_ft, old_sup, old_mm
+        return jnp.sum(out**2), out
+
+    with pltpu.force_tpu_interpret_mode():
+        (l_f, out_f), g_f = jax.value_and_grad(loss, has_aux=True)(params, True)
+    (l_r, out_r), g_r = jax.value_and_grad(loss, has_aux=True)(params, False)
+    rel = np.abs(np.asarray(out_f) - np.asarray(out_r)).max() / np.abs(
+        np.asarray(out_r)
+    ).max()
+    assert rel < 2e-3, rel
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_r = jax.tree.leaves(g_r)
+    assert len(flat_f) == len(flat_r)
+    for (path, gf), gr in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-3, atol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_biggan_updown_block_fused_transition_matches_normal(rng):
     """ResnetBlockBigGANpp with up/down dispatching to the whole-transition
     kernel matches the composable-module path on identical params."""
