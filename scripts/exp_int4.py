@@ -25,10 +25,17 @@ import numpy as np
 from _timing import per_app_seconds
 
 
+def _dev_randint(key, shape, lo, hi, dtype):
+    """Operand created ON DEVICE: the tunnel moves host arrays at ~30 MB/s,
+    so the 64 MB peak-shape operands would stall for minutes if host-built."""
+    return jax.jit(
+        lambda: jax.random.randint(jax.random.PRNGKey(key), shape, lo, hi).astype(dtype)
+    )()
+
+
 def rate(m, k, n, a_dtype, w_dtype, k_small=512, k_large=8192, label=""):
-    rng = np.random.default_rng(0)
     # values fit int4 so casting is lossless for all dtype combos
-    w8 = jnp.asarray(rng.integers(-7, 8, (k, n)), jnp.int8)
+    w8 = _dev_randint(0, (k, n), -7, 8, jnp.int8)
 
     def f(x):
         acc = jax.lax.dot_general(
@@ -43,7 +50,7 @@ def rate(m, k, n, a_dtype, w_dtype, k_small=512, k_large=8192, label=""):
         reps = -(-k // n)
         return jnp.tile(y, (1, reps))[:, :k]
 
-    x0 = jnp.asarray(rng.integers(-7, 8, (m, k)), jnp.int8)
+    x0 = _dev_randint(1, (m, k), -7, 8, jnp.int8)
     try:
         dt = per_app_seconds(f, x0, k_small=k_small, k_large=k_large, reps=3)
     except Exception as e:  # unsupported combo on this backend

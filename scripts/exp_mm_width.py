@@ -35,7 +35,13 @@ def rate(m, k, n):
         return jnp.tile(y, (1, reps))[:, :k]
 
     x0 = jnp.asarray(rng.integers(-3, 4, (m, k)), jnp.int8)
-    dt = per_app_seconds(f, x0, k_small=512, k_large=8192, reps=3)
+    # Round-4 correction: with per-app times of 0.3-7 us, the old
+    # (512, 8192) windows put only a few ms of differenced work against
+    # ~0.5 ms of tunnel/run noise — both the round-3 readings (126-144
+    # TOP/s at K=N=128) and a shallow-window re-run (0.00 us / 750 TOP/s
+    # nonsense cells) are unreliable. 64k-app chains make the difference
+    # ~20-60x the noise floor.
+    dt = per_app_seconds(f, x0, k_small=4096, k_large=65536, reps=5)
     tops = 2 * m * k * n / dt / 1e12
     print(f"M={m:5d} K={k:4d} N={n:4d}: {dt*1e6:8.2f} us  {tops:6.1f} TOP/s", flush=True)
 
