@@ -118,6 +118,62 @@ def _conv9(h_pad_ref, w_ref, bt, h, w, cin, cout, dtype):
     return acc
 
 
+def _conv9_scatter(xs, w_ref, bt, h, w, cout, dtype, group=None):
+    """Scatter-form 3x3 conv: contiguous wide-N matmuls + shifted VPU adds.
+
+    The gather form (_conv9) pays a strided-window relayout per tap: each of
+    the 9 shifted slices of the padded VMEM tile is copied into matmul
+    layout before its dot. The round-4 slope probe (scripts/
+    exp_shape_pure.py) showed the marginal MXU rate at the model's K=N=128
+    shape is ~2x the gather kernels' conv floor — the relayouts, not the
+    MXU, are the 32x32 level's limiter. Here the matmul input is the
+    UNPADDED contiguous tile (no relayout); taps are concatenated along N
+    (lane-aligned slices), and the 3x3 shifts move to the epilogue as
+    zero-padded VPU adds where no matmul layout is required.
+
+    xs: list of (bt*h*w, k_i) activation values (already in mm dtype) whose
+        k_i sum to cin — pairs pass [oa, ob] and skip the concat entirely.
+    w_ref: (cin, 9*cout) — tap-major along N, packed by the wrappers.
+    group: taps per matmul (1..9). 9 = one (M, 9*cout) intermediate
+        (fastest form, most VMEM); 3 = three (M, 3*cout) rounds (default —
+        bounds the int32 intermediate at 1/3). Env GDDIM_CONV9_GROUP.
+    """
+    group = group or CONV9_GROUP
+    acc_t = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    out = jnp.zeros((bt, h, w, cout), acc_t)
+    taps = [(dy, dx) for dy in range(3) for dx in range(3)]
+    for g0 in range(0, 9, group):
+        gtaps = taps[g0 : g0 + group]
+        y = None
+        k0 = 0
+        for x2d in xs:
+            k1 = k0 + x2d.shape[1]
+            wg = w_ref[k0:k1, g0 * cout : (g0 + len(gtaps)) * cout]
+            t = jax.lax.dot_general(
+                x2d, wg.astype(dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_t,
+            )
+            y = t if y is None else y + t
+            k0 = k1
+        for j, (dy, dx) in enumerate(gtaps):
+            # out[b, oy, ox] += Y[b, oy+dy-1, ox+dx-1, tap]
+            yt = y[:, j * cout : (j + 1) * cout].reshape(bt, h, w, cout)
+            oy0, oy1 = max(0, 1 - dy), h - max(0, dy - 1)
+            ox0, ox1 = max(0, 1 - dx), w - max(0, dx - 1)
+            iy0, ix0 = oy0 + dy - 1, ox0 + dx - 1
+            sl = yt[:, iy0 : iy0 + (oy1 - oy0), ix0 : ix0 + (ox1 - ox0), :]
+            out = out + jax.lax.pad(
+                sl, jnp.zeros((), acc_t),
+                ((0, 0, 0), (oy0, h - oy1, 0), (ox0, w - ox1, 0), (0, 0, 0)),
+            )
+    return out.reshape(bt * h * w, cout)
+
+
+def _pack_w_scatter(q):
+    """(9, cin, cout) prepped weights -> (cin, 9*cout) tap-major-N layout."""
+    return q.transpose(1, 0, 2).reshape(q.shape[1], 9 * q.shape[2])
+
+
 def _resblock_kernel(
     x_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1_ref, b1_ref, w1sc_ref,
     gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
@@ -125,7 +181,7 @@ def _resblock_kernel(
     *rest,
     bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
     apply_gn1=True, separate_skip=False, static_scales=False, static_skip=True,
-    has_mask=False, inv_keep=1.0,
+    has_mask=False, inv_keep=1.0, conv_impl="gather",
 ):
     """bt samples per grid step; all weights + the tiles resident in VMEM.
 
@@ -147,6 +203,7 @@ def _resblock_kernel(
     activation scales [1/s1, 1/s2, 1/sx]; the per-sample amax reductions are
     skipped and the dequant scale rows arrive pre-multiplied by s_act.
     """
+    assert conv_impl == "gather", "v1 (per-sample amax) supports gather only"
     rest = list(rest)
     xskip_ref = rest.pop(0) if separate_skip else x_ref
     qs_ref = rest.pop(0) if static_scales else None
@@ -252,10 +309,14 @@ def _resblock_kernel_v2(
     *rest,
     bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
     apply_gn1=True, separate_skip=False, static_scales=False, static_skip=True,
-    has_mask=False, inv_keep=1.0,
+    has_mask=False, inv_keep=1.0, conv_impl="gather",
 ):
     """Loop-free variant of _resblock_kernel (static-scale int8 and bf16
     modes only — no per-sample amax reductions are needed there).
+
+    conv_impl='scatter': convs run as _conv9_scatter on the contiguous tile
+    values — the padded scratches are never touched (the wrapper passes
+    dummies) and w*_ref arrive in the (cin, 9*cout) packed layout.
 
     v1 unrolls a python loop of bt rank-2 sample slices for the GroupNorm /
     quantize / epilogue stages; each iteration's VPU chain serializes against
@@ -272,11 +333,14 @@ def _resblock_kernel_v2(
     o_ref, hpad_ref, hpad2_ref = rest
     int8 = mm_dtype == jnp.int8
     n = h * w
+    scatter = conv_impl == "scatter"
 
-    @pl.when(pl.program_id(0) == 0)
-    def _zero_borders():
-        hpad_ref[...] = jnp.zeros_like(hpad_ref)
-        hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+    if not scatter:
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero_borders():
+            hpad_ref[...] = jnp.zeros_like(hpad_ref)
+            hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
 
     def gn_silu_tile(x3, pmat, scale_ref2, bias_ref2, inv_n):
         """(bt, n, C) f32 -> silu(GroupNorm(x)) per sample, vectorized."""
@@ -299,13 +363,19 @@ def _resblock_kernel_v2(
         a1 = x3
     if int8:
         a1 = jnp.clip(jnp.round(a1 * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
-    for s in range(bt):  # scratch interior stores stay per-sample (layout)
-        hpad_ref[s, 1 : h + 1, 1 : w + 1, :] = a1[s].reshape(h, w, cin).astype(
-            hpad_ref.dtype
-        )
 
     # --- conv1 (batched) + bias + temb + GN2 + SiLU (+quant) ---------------
-    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
+    if scatter:
+        acc = _conv9_scatter(
+            [a1.reshape(bt * n, cin).astype(mm_dtype)],
+            w1_ref, bt, h, w, cout, mm_dtype,
+        )
+    else:
+        for s in range(bt):  # scratch interior stores stay per-sample (layout)
+            hpad_ref[s, 1 : h + 1, 1 : w + 1, :] = a1[s].reshape(
+                h, w, cin
+            ).astype(hpad_ref.dtype)
+        acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
     acc3 = acc.reshape(bt, n, cout).astype(jnp.float32)
     if int8:  # w1sc arrives pre-multiplied by the static s1 act scale
         acc3 = acc3 * w1sc_ref[...][None]
@@ -315,13 +385,19 @@ def _resblock_kernel_v2(
         a2 = a2 * (mask_ref[...].astype(jnp.float32) * inv_keep)
     if int8:
         a2 = jnp.clip(jnp.round(a2 * qs_ref[0, 1]), -127, 127).astype(jnp.int8)
-    for s in range(bt):
-        hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2[s].reshape(h, w, cout).astype(
-            hpad2_ref.dtype
-        )
 
     # --- conv2 (batched) + epilogue + skip (batched) -----------------------
-    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
+    if scatter:
+        acc2 = _conv9_scatter(
+            [a2.reshape(bt * n, cout).astype(mm_dtype)],
+            w2_ref, bt, h, w, cout, mm_dtype,
+        )
+    else:
+        for s in range(bt):
+            hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2[s].reshape(
+                h, w, cout
+            ).astype(hpad2_ref.dtype)
+        acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
     h3 = acc2.reshape(bt, n, cout).astype(jnp.float32)
     if int8:
         h3 = h3 * w2sc_ref[...][None]
@@ -364,6 +440,13 @@ import os as _os
 
 RESBLOCK_IMPL = _os.environ.get("GDDIM_RESBLOCK_IMPL", "auto")
 
+# in-kernel 3x3 conv form for the loop-free (v2) bodies: 'gather' = 9
+# shifted-input matmuls from the padded scratch (production default),
+# 'scatter' = contiguous wide-N matmuls + shifted VPU adds (_conv9_scatter).
+# Tests monkeypatch these module attributes; the chip A/B flips the env.
+CONV9_IMPL = _os.environ.get("GDDIM_CONV9_IMPL", "gather")
+CONV9_GROUP = int(_os.environ.get("GDDIM_CONV9_GROUP", "3"))
+
 
 def _kernel_body(static_scales: bool, mm_dtype, n: int = 0) -> "function":
     v2_ok = static_scales or mm_dtype != jnp.int8
@@ -374,7 +457,8 @@ def _kernel_body(static_scales: bool, mm_dtype, n: int = 0) -> "function":
     return _resblock_kernel
 
 
-def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2) -> int:
+def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2,
+             scatter: bool = False) -> int:
     """Largest batch tile fitting the VMEM budget (double-buffered x/out
     blocks + two padded scratch buffers + resident weights + f32 working
     values, with native-tiling padding).
@@ -394,7 +478,12 @@ def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2) -> int:
         budget loop below)."""
         x_blk = bt * pad(h * w, 8) * pad(cin, 128) * 2
         o_blk = bt * pad(h * w, 8) * pad(cout, 128) * 2
-        scr = bt * (h + 2) * pad(w + 2, 16) * (pad(cin, 128) + pad(cout, 128)) * 2
+        if scatter:
+            # no padded scratches; instead the wide-N int32 matmul output
+            # (group*cout cols) plus the int32 scatter accumulator are live
+            scr = bt * h * w * (CONV9_GROUP * pad(cout, 128) + pad(cout, 128)) * 4
+        else:
+            scr = bt * (h + 2) * pad(w + 2, 16) * (pad(cin, 128) + pad(cout, 128)) * 2
         work = work_tiles * bt * h * w * max(cin, cout) * 4
         return 2 * x_blk + 2 * o_blk + scr + work
 
@@ -478,9 +567,11 @@ def fused_resblock(
         assert c == cout, (c, cout)
     body = _kernel_body(static, mm_dtype, n=h * w_)
     v2 = body is _resblock_kernel_v2
+    scatter = v2 and CONV9_IMPL == "scatter"
     bt = _pick_bt(
         b, h, w_, c, cout, max_bt=64 if v2 else 16,
         work_tiles=(3 if v2 else 2) + (1 if has_mask else 0),
+        scatter=scatter,
     )
 
     def prep_w(wm, shape, quant=None):
@@ -503,10 +594,13 @@ def fused_resblock(
         eps=eps, has_skip=has_skip, rescale=skip_rescale, mm_dtype=mm_dtype,
         static_scales=static, static_skip=static_skip,
         has_mask=has_mask, inv_keep=1.0 / keep_prob,
+        conv_impl="scatter" if scatter else "gather",
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     w1_op, w1_sc = prep_w(w1, (9, c, cout))
     w2_op, w2_sc = prep_w(w2, (9, cout, cout))
+    if scatter:
+        w1_op, w2_op = _pack_w_scatter(w1_op), _pack_w_scatter(w2_op)
     # dynamic-skip int8 mode runs the 1x1 projection bf16 (see the kernel)
     wsk_op, wsk_sc = prep_w(
         w_skip if has_skip else np.zeros((c, cout), np.float32), (c, cout),
@@ -550,9 +644,9 @@ def fused_resblock(
                 (bt, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),  # temb rows, pre-broadcast to an (8, Cout)-tileable layout
             const((1, c)), const((1, c)), const((c, c)),
-            const((9, c, cout)), const((1, cout)), const((1, cout)),
+            const(w1_op.shape), const((1, cout)), const((1, cout)),
             const((1, cout)), const((1, cout)), const((cout, cout)),
-            const((9, cout, cout)), const((1, cout)), const((1, cout)),
+            const(w2_op.shape), const((1, cout)), const((1, cout)),
             const((c, cout)), const((1, cout)), const((1, cout)),
         ] + ([const((1, 128))] if static else []) + ([
             pl.BlockSpec(
@@ -563,10 +657,15 @@ def fused_resblock(
             (bt, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, h * w_, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bt, h + 2, w_ + 2, c), mm_dtype),
-            pltpu.VMEM((bt, h + 2, w_ + 2, cout), mm_dtype),
-        ],  # int8 scratches halve again vs bf16
+        scratch_shapes=(
+            # scatter never touches the padded scratches: minimal dummies
+            [pltpu.VMEM((8, 128), mm_dtype), pltpu.VMEM((8, 128), mm_dtype)]
+            if scatter else
+            [
+                pltpu.VMEM((bt, h + 2, w_ + 2, c), mm_dtype),
+                pltpu.VMEM((bt, h + 2, w_ + 2, cout), mm_dtype),
+            ]
+        ),  # int8 scratches halve again vs bf16
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w_ * 9 * (c * cout + cout * cout),
             bytes_accessed=b * h * w_ * (c + cout) * x.dtype.itemsize,
@@ -581,7 +680,7 @@ def _resblock_pair_kernel(
     w1sc_ref, gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
     wskip_ref, bskip_ref, wsksc_ref, *rest,
     bt, h, w, c1, c2, cout, inv_n1, inv_n2, eps, rescale, mm_dtype,
-    static_scales=False, static_skip=True,
+    static_scales=False, static_skip=True, conv_impl="gather",
 ):
     """Two-input variant of _resblock_kernel for the U-Net up path: the block
     input is logically concat(xa, xb) along channels, but concatenating
@@ -591,6 +690,7 @@ def _resblock_pair_kernel(
     padded buffer, and the skip projection runs as two matmuls against the
     row-split w_skip. The skip is always projected (up-path C > C_out).
     """
+    assert conv_impl == "gather", "v1 (per-sample amax) supports gather only"
     rest = list(rest)
     qs_ref = rest.pop(0) if static_scales else None
     o_ref, hpad_ref, hpad2_ref = rest
@@ -700,22 +800,28 @@ def _resblock_pair_kernel_v2(
     w1sc_ref, gn2s_ref, gn2b_ref, p2_ref, w2_ref, b2_ref, w2sc_ref,
     wskip_ref, bskip_ref, wsksc_ref, *rest,
     bt, h, w, c1, c2, cout, inv_n1, inv_n2, eps, rescale, mm_dtype,
-    static_scales=False, static_skip=True,
+    static_scales=False, static_skip=True, conv_impl="gather",
 ):
     """Loop-free variant of _resblock_pair_kernel (static-scale int8 / bf16
     modes; see _resblock_kernel_v2). GN1 statistics assemble from per-part
-    tile reductions; everything per-sample becomes a (bt, n, C) broadcast."""
+    tile reductions; everything per-sample becomes a (bt, n, C) broadcast.
+
+    conv_impl='scatter': conv1 runs _conv9_scatter on the two parts as a
+    K-split pair of matmuls — even the padded-scratch concat disappears."""
     rest = list(rest)
     qs_ref = rest.pop(0) if static_scales else None
     o_ref, hpad_ref, hpad2_ref = rest
     int8 = mm_dtype == jnp.int8
     n = h * w
     cin = c1 + c2
+    scatter = conv_impl == "scatter"
 
-    @pl.when(pl.program_id(0) == 0)
-    def _zero_borders():
-        hpad_ref[...] = jnp.zeros_like(hpad_ref)
-        hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
+    if not scatter:
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero_borders():
+            hpad_ref[...] = jnp.zeros_like(hpad_ref)
+            hpad2_ref[...] = jnp.zeros_like(hpad2_ref)
 
     # --- GN1 + SiLU over the logical concat, tile-vectorized ---------------
     xa3 = xa_ref[...].astype(jnp.float32)  # (bt, n, c1)
@@ -737,16 +843,23 @@ def _resblock_pair_kernel_v2(
     if int8:
         oa = jnp.clip(jnp.round(oa * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
         ob = jnp.clip(jnp.round(ob * qs_ref[0, 0]), -127, 127).astype(jnp.int8)
-    for s in range(bt):
-        hpad_ref[s, 1 : h + 1, 1 : w + 1, :c1] = oa[s].reshape(h, w, c1).astype(
-            hpad_ref.dtype
-        )
-        hpad_ref[s, 1 : h + 1, 1 : w + 1, c1:] = ob[s].reshape(h, w, c2).astype(
-            hpad_ref.dtype
-        )
 
     # --- conv1 (batched) + bias + temb + GN2 + SiLU (+quant) ---------------
-    acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
+    if scatter:
+        acc = _conv9_scatter(
+            [oa.reshape(bt * n, c1).astype(mm_dtype),
+             ob.reshape(bt * n, c2).astype(mm_dtype)],
+            w1_ref, bt, h, w, cout, mm_dtype,
+        )
+    else:
+        for s in range(bt):
+            hpad_ref[s, 1 : h + 1, 1 : w + 1, :c1] = oa[s].reshape(
+                h, w, c1
+            ).astype(hpad_ref.dtype)
+            hpad_ref[s, 1 : h + 1, 1 : w + 1, c1:] = ob[s].reshape(
+                h, w, c2
+            ).astype(hpad_ref.dtype)
+        acc = _conv9(hpad_ref, w1_ref, bt, h, w, cin, cout, mm_dtype)
     acc3 = acc.reshape(bt, n, cout).astype(jnp.float32)
     if int8:
         acc3 = acc3 * w1sc_ref[...][None]
@@ -761,13 +874,19 @@ def _resblock_pair_kernel_v2(
     a2 = a2 * jax.nn.sigmoid(a2)
     if int8:
         a2 = jnp.clip(jnp.round(a2 * qs_ref[0, 1]), -127, 127).astype(jnp.int8)
-    for s in range(bt):
-        hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2[s].reshape(h, w, cout).astype(
-            hpad2_ref.dtype
-        )
 
     # --- conv2 (batched) + epilogue + split skip (batched) -----------------
-    acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
+    if scatter:
+        acc2 = _conv9_scatter(
+            [a2.reshape(bt * n, cout).astype(mm_dtype)],
+            w2_ref, bt, h, w, cout, mm_dtype,
+        )
+    else:
+        for s in range(bt):
+            hpad2_ref[s, 1 : h + 1, 1 : w + 1, :] = a2[s].reshape(
+                h, w, cout
+            ).astype(hpad2_ref.dtype)
+        acc2 = _conv9(hpad2_ref, w2_ref, bt, h, w, cout, cout, mm_dtype)
     h3 = acc2.reshape(bt, n, cout).astype(jnp.float32)
     if int8:
         h3 = h3 * w2sc_ref[...][None]
@@ -826,8 +945,10 @@ def fused_resblock_pair(
     cout = w1.shape[-1]
     body = _pair_body(static, mm_dtype)
     v2 = body is _resblock_pair_kernel_v2
+    scatter = v2 and CONV9_IMPL == "scatter"
     bt = _pick_bt(
-        b, h, w_, cin, cout, max_bt=64 if v2 else 16, work_tiles=3 if v2 else 2
+        b, h, w_, cin, cout, max_bt=64 if v2 else 16,
+        work_tiles=3 if v2 else 2, scatter=scatter,
     )
 
     def prep_w(wm, shape, quant=None):
@@ -849,10 +970,13 @@ def fused_resblock_pair(
         bt=bt, h=h, w=w_, c1=c1, c2=c2, cout=cout, inv_n1=inv_n1,
         inv_n2=inv_n2, eps=eps, rescale=skip_rescale, mm_dtype=mm_dtype,
         static_scales=static, static_skip=static_skip,
+        conv_impl="scatter" if scatter else "gather",
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     w1_op, w1_sc = prep_w(w1, (9, cin, cout))
     w2_op, w2_sc = prep_w(w2, (9, cout, cout))
+    if scatter:
+        w1_op, w2_op = _pack_w_scatter(w1_op), _pack_w_scatter(w2_op)
     # dynamic-skip int8 mode runs the 1x1 projection bf16 (see the kernel)
     wsk_op, wsk_sc = prep_w(w_skip, (cin, cout), quant=int8 and static_skip)
     if static:
@@ -895,19 +1019,23 @@ def fused_resblock_pair(
                 (bt, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             const((1, cin)), const((1, cin)), const((cin, cin)),
-            const((9, cin, cout)), const((1, cout)), const((1, cout)),
+            const(w1_op.shape), const((1, cout)), const((1, cout)),
             const((1, cout)), const((1, cout)), const((cout, cout)),
-            const((9, cout, cout)), const((1, cout)), const((1, cout)),
+            const(w2_op.shape), const((1, cout)), const((1, cout)),
             const((cin, cout)), const((1, cout)), const((1, cout)),
         ] + ([const((1, 128))] if static else []),
         out_specs=pl.BlockSpec(
             (bt, h * w_, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, h * w_, cout), xa.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bt, h + 2, w_ + 2, cin), mm_dtype),
-            pltpu.VMEM((bt, h + 2, w_ + 2, cout), mm_dtype),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((8, 128), mm_dtype), pltpu.VMEM((8, 128), mm_dtype)]
+            if scatter else
+            [
+                pltpu.VMEM((bt, h + 2, w_ + 2, cin), mm_dtype),
+                pltpu.VMEM((bt, h + 2, w_ + 2, cout), mm_dtype),
+            ]
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w_ * 9 * (cin * cout + cout * cout),
             bytes_accessed=b * h * w_ * (cin + cout) * xa.dtype.itemsize,
@@ -942,8 +1070,10 @@ def fused_resblock_tail(
     # the standard (apply_gn1) path; explicit GDDIM_RESBLOCK_IMPL=v2 applies
     body = _kernel_body(static, mm_dtype)
     v2 = body is _resblock_kernel_v2
+    scatter = v2 and CONV9_IMPL == "scatter"
     bt = _pick_bt(
-        b, hh, ww, c, cout, max_bt=64 if v2 else 16, work_tiles=3 if v2 else 2
+        b, hh, ww, c, cout, max_bt=64 if v2 else 16,
+        work_tiles=3 if v2 else 2, scatter=scatter,
     )
 
     def prep_w(wm, shape, quant=None):
@@ -965,10 +1095,13 @@ def fused_resblock_tail(
         eps=eps, has_skip=True, rescale=skip_rescale, mm_dtype=mm_dtype,
         apply_gn1=False, separate_skip=True, static_scales=static,
         static_skip=static_skip,
+        conv_impl="scatter" if scatter else "gather",
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     w1_op, w1_sc = prep_w(w1, (9, c, cout))
     w2_op, w2_sc = prep_w(w2, (9, cout, cout))
+    if scatter:
+        w1_op, w2_op = _pack_w_scatter(w1_op), _pack_w_scatter(w2_op)
     # dynamic-skip int8 mode runs the 1x1 projection bf16 (see the kernel)
     wsk_op, wsk_sc = prep_w(w_skip, (c, cout), quant=int8 and static_skip)
     if static:
@@ -1009,9 +1142,9 @@ def fused_resblock_tail(
                 (bt, 8, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             const((1, c)), const((1, c)), const((c, c)),
-            const((9, c, cout)), const((1, cout)), const((1, cout)),
+            const(w1_op.shape), const((1, cout)), const((1, cout)),
             const((1, cout)), const((1, cout)), const((cout, cout)),
-            const((9, cout, cout)), const((1, cout)), const((1, cout)),
+            const(w2_op.shape), const((1, cout)), const((1, cout)),
             const((c, cout)), const((1, cout)), const((1, cout)),
             pl.BlockSpec(
                 (bt, hh * ww, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1021,10 +1154,14 @@ def fused_resblock_tail(
             (bt, hh * ww, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, hh * ww, cout), h.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bt, hh + 2, ww + 2, c), mm_dtype),
-            pltpu.VMEM((bt, hh + 2, ww + 2, cout), mm_dtype),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((8, 128), mm_dtype), pltpu.VMEM((8, 128), mm_dtype)]
+            if scatter else
+            [
+                pltpu.VMEM((bt, hh + 2, ww + 2, c), mm_dtype),
+                pltpu.VMEM((bt, hh + 2, ww + 2, cout), mm_dtype),
+            ]
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hh * ww * 9 * (c * cout + cout * cout),
             bytes_accessed=b * hh * ww * (2 * c + cout) * h.dtype.itemsize,

@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 STEPS = 8  # n_jitted_steps per dispatch
-MEASURED_PEAK = 159e12
+# round-4 peak verification (PERF.md): bf16 ~175 TF/s across sizes, windows,
+# layouts and sessions (round 2/3's 159 was a low-session reading)
+MEASURED_PEAK = 175e12
 NOMINAL_PEAK = 197e12
 FWD_GFLOP_PER_IMG = 34.75  # exact, XLA cost_analysis on the eps fn (PERF.md)
 

@@ -369,3 +369,58 @@ def test_full_model_fused_v2_matches_normal():
         rb.RESBLOCK_IMPL = old_v
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 5e-3, rel
+
+
+def test_full_model_fused_v2_scatter_matches_normal():
+    """Model-level gate for the scatter-form in-kernel conv
+    (GDDIM_CONV9_IMPL=scatter, round-4 MXU-relayout lever): the whole
+    NCSN++ with v2 bodies + scatter convs through single, pair, tail and
+    attention paths must match the unfused composition."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.configs import get_config
+    from gddim_tpu.models import init_model, make_cld_eps_fn
+    from gddim_tpu.math.cld import CLD
+    from gddim_tpu.models import layers
+    from gddim_tpu.ops import attnblock as ab, resblock as rb
+
+    cfg = get_config("cld/simple_cifar10")
+    cfg.data.image_size = 16
+    cfg.model.nf = 128
+    cfg.model.ch_mult = (1, 2)  # include a transition + pair path
+    cfg.model.num_res_blocks = 1
+    cfg.model.attn_resolutions = (16,)
+    model, mstate, params = init_model(jax.random.PRNGKey(0), cfg)
+    sde = CLD.from_config(cfg)
+    eps = make_cld_eps_fn(sde, model, train=False)
+    v = {"params": params, **mstate}
+    u = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16, 16, 3, 2)), jnp.float32
+    )
+    t = jnp.full((2,), 0.5, jnp.float32)
+    ref = np.asarray(eps(v, u, t))
+
+    old_impl = layers.CONV3X3_IMPL
+    old_rb, old_ab, old_mm = rb.supported, ab.supported, rb.MM_DTYPE
+    old_v, old_c9 = rb.RESBLOCK_IMPL, rb.CONV9_IMPL
+    try:
+        layers.CONV3X3_IMPL = "fused"
+        rb.RESBLOCK_IMPL = "v2"
+        rb.CONV9_IMPL = "scatter"
+        rb.MM_DTYPE = jnp.float32
+        rb.supported = lambda shape, cout: (
+            shape[-1] % 128 == 0 and cout % 128 == 0
+        )
+        ab.supported = lambda shape: (
+            shape[-1] % 128 == 0 and (shape[1] * shape[2]) % 8 == 0
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(eps(v, u, t))
+    finally:
+        layers.CONV3X3_IMPL = old_impl
+        rb.supported, ab.supported, rb.MM_DTYPE = old_rb, old_ab, old_mm
+        rb.RESBLOCK_IMPL, rb.CONV9_IMPL = old_v, old_c9
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 5e-3, rel

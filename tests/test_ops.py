@@ -1300,3 +1300,85 @@ def test_fused_veto_env_disables_supported(monkeypatch):
     # baseline gate logic unchanged without the env (backend-dependent on
     # CPU it is False for other reasons; just ensure no exception)
     rb.supported((64, 32, 32, 128), 128)
+
+
+def test_fused_resblock_scatter_matches_gather(rng, monkeypatch):
+    """The scatter-form in-kernel conv (_conv9_scatter: contiguous wide-N
+    matmuls + shifted VPU adds, round-4 MXU-relayout lever) must produce the
+    same block outputs as the production gather form, for every v2 kernel
+    family (single / pair / tail), int8-static and bf16, at both tap
+    groupings. int8 accumulates exactly in int32, so the int8 paths must be
+    bit-equal; bf16/f32 differ only by add order."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import gddim_tpu.ops.resblock as R
+
+    B, H, C, C2 = 4, 8, 128, 256
+    x = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32))
+    g1s = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    g1b = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(3, 3, C, C2)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g2s = jnp.asarray(1 + 0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    g2b = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(3, 3, C2, C2)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(C, C2)).astype(np.float32) * 0.1)
+    bs = jnp.asarray(0.1 * rng.normal(size=(C2,)).astype(np.float32))
+    kw = dict(num_groups1=32, num_groups2=32, skip_rescale=True)
+    sc = (0.07, 0.06, 0.08)  # static act scales incl. static skip
+
+    xb = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    wsp = jnp.asarray(rng.normal(size=(2 * C, C2)).astype(np.float32) * 0.1)
+    w1p = jnp.asarray(
+        rng.normal(size=(3, 3, 2 * C, C2)).astype(np.float32) * 0.05
+    )
+    hh = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+    xsk = jnp.asarray(rng.normal(size=(B, H, H, C)).astype(np.float32))
+
+    def run_all(mm, scales):
+        extra = {} if scales is None else {"act_scales": scales}
+        with pltpu.force_tpu_interpret_mode():
+            single = np.asarray(
+                R.fused_resblock(
+                    x, temb, g1s, g1b, w1, b1, g2s, g2b, w2, b2, ws, bs,
+                    mm_dtype=mm, **extra, **kw,
+                )
+            )
+            pair = np.asarray(
+                R.fused_resblock_pair(
+                    x, xb, temb, jnp.concatenate([g1s, g1s]),
+                    jnp.concatenate([g1b, g1b]), w1p, b1, g2s, g2b, w2, b2,
+                    wsp, bs, mm_dtype=mm, **extra, **kw,
+                )
+            )
+            tail = np.asarray(
+                R.fused_resblock_tail(
+                    hh, xsk, temb, w1, b1, g2s, g2b, w2, b2, ws, bs,
+                    num_groups2=32, skip_rescale=True, mm_dtype=mm, **extra,
+                )
+            )
+        return single, pair, tail
+
+    monkeypatch.setattr(R, "RESBLOCK_IMPL", "v2")
+    for mm, scales, tol in [
+        (jnp.int8, sc, 0.0),
+        (jnp.bfloat16, None, 3e-3),
+    ]:
+        monkeypatch.setattr(R, "CONV9_IMPL", "gather")
+        base = run_all(mm, scales)
+        for group in (9, 3, 1):
+            monkeypatch.setattr(R, "CONV9_IMPL", "scatter")
+            monkeypatch.setattr(R, "CONV9_GROUP", group)
+            got = run_all(mm, scales)
+            for name, a, b in zip(("single", "pair", "tail"), got, base):
+                if tol == 0.0:
+                    np.testing.assert_array_equal(
+                        a, b, err_msg=f"{name} g={group} {mm}"
+                    )
+                else:
+                    np.testing.assert_allclose(
+                        a, b, rtol=tol, atol=tol,
+                        err_msg=f"{name} g={group} {mm}",
+                    )
