@@ -432,27 +432,28 @@ def _resblock_kernel_v2(
 
 # fused-resblock kernel body: 'v1' = per-sample rank-2 unroll (always valid),
 # 'v2' = loop-free tile-vectorized (static-scale int8 / bf16 only; dynamic
-# per-sample quantization needs v1's amax loop). Chip A/B (round 3c): v2 is
-# end-to-end neutral globally, but wins ~7% at the 32x32 level where the
-# VPU share is largest — 'auto' takes v2 only for single blocks at n>=1024.
-# GDDIM_RESBLOCK_IMPL overrides for experiments.
+# per-sample quantization needs v1's amax loop). Chip A/B (round 4): with the
+# scatter conv form, v2 wins at EVERY level (end-to-end 96.2 vs 83.5 img/s,
+# PERF.md round-4 conv-strategy table) — 'auto' now takes v2 wherever valid
+# (standard, pair, and tail paths). GDDIM_RESBLOCK_IMPL=v1 restores the
+# per-sample body for experiments.
 import os as _os
 
 RESBLOCK_IMPL = _os.environ.get("GDDIM_RESBLOCK_IMPL", "auto")
 
-# in-kernel 3x3 conv form for the loop-free (v2) bodies: 'gather' = 9
-# shifted-input matmuls from the padded scratch (production default),
-# 'scatter' = contiguous wide-N matmuls + shifted VPU adds (_conv9_scatter).
-# Tests monkeypatch these module attributes; the chip A/B flips the env.
-CONV9_IMPL = _os.environ.get("GDDIM_CONV9_IMPL", "gather")
+# in-kernel 3x3 conv form for the loop-free (v2) bodies: 'scatter' =
+# contiguous wide-N matmuls + shifted VPU adds (_conv9_scatter; production
+# default — chip A/B round 4: +8% end-to-end over gather, the padded-tile
+# relayout was the 32x32 conv floor), 'gather' = 9 shifted-input matmuls
+# from the padded scratch. Tests monkeypatch these module attributes; the
+# chip A/B flips the env.
+CONV9_IMPL = _os.environ.get("GDDIM_CONV9_IMPL", "scatter")
 CONV9_GROUP = int(_os.environ.get("GDDIM_CONV9_GROUP", "3"))
 
 
 def _kernel_body(static_scales: bool, mm_dtype, n: int = 0) -> "function":
     v2_ok = static_scales or mm_dtype != jnp.int8
-    if RESBLOCK_IMPL == "v2" and v2_ok:
-        return _resblock_kernel_v2
-    if RESBLOCK_IMPL == "auto" and v2_ok and n >= 1024:
+    if RESBLOCK_IMPL in ("v2", "auto") and v2_ok:
         return _resblock_kernel_v2
     return _resblock_kernel
 
@@ -922,7 +923,9 @@ def _resblock_pair_kernel_v2(
 
 
 def _pair_body(static_scales: bool, mm_dtype):
-    if RESBLOCK_IMPL == "v2" and (static_scales or mm_dtype != jnp.int8):
+    if RESBLOCK_IMPL in ("v2", "auto") and (
+        static_scales or mm_dtype != jnp.int8
+    ):
         return _resblock_pair_kernel_v2
     return _resblock_pair_kernel
 
@@ -1066,8 +1069,6 @@ def fused_resblock_tail(
     b, hh, ww, c = h.shape
     cout = w1.shape[-1]
     assert x_skip.shape == (b, hh, ww, c), (x_skip.shape, h.shape)
-    # tail mode stays v1 under 'auto': the v2 win at n>=1024 was measured on
-    # the standard (apply_gn1) path; explicit GDDIM_RESBLOCK_IMPL=v2 applies
     body = _kernel_body(static, mm_dtype)
     v2 = body is _resblock_kernel_v2
     scatter = v2 and CONV9_IMPL == "scatter"
