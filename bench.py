@@ -212,6 +212,10 @@ def main():
         "--static", action=argparse.BooleanOptionalAction, default=True,
         help="calibrated static activation scales for the fused int8 path",
     )
+    parser.add_argument(
+        "--blur-extra", action=argparse.BooleanOptionalAction, default=True,
+        help="piggyback the blur family point on cld opt runs",
+    )
     args = parser.parse_args()
 
     _enable_compile_cache()
@@ -272,7 +276,8 @@ def main():
     # at the headline batch so the blur family is regression-tracked in every
     # BENCH_r{N}.json, not only in PERF.md prose (round-3 verdict #3). The
     # compile cache makes this cheap on repeat runs.
-    if args.family == "cld" and args.mode == "opt" and not smoke:
+    blur_extra = {}
+    if args.family == "cld" and args.mode == "opt" and not smoke and args.blur_extra:
         try:
             blur_ips = measure("blur", "opt", 128, args.reps, smoke,
                                conv_impl=args.conv, static_scales=args.static)
@@ -283,6 +288,14 @@ def main():
             entry["opt_ips"] = round(blur_ips, 3)
             cache["blur"] = entry
             BASELINE_CACHE.write_text(json.dumps(cache))
+            # blur rides the same JSON line as extra keys so BENCH_r{N}
+            # tracks it as a metric, not a comment (round-4 verdict #9)
+            blur_extra = {
+                "blur_value": round(blur_ips, 3),
+                "blur_vs_baseline": (
+                    round(blur_ips / float(blur_ref), 3) if blur_ref else None
+                ),
+            }
         except Exception as e:
             msg = str(e).split("\n")[0][:160]
             print(f"# blur: failed ({type(e).__name__}: {msg})", flush=True)
@@ -291,6 +304,7 @@ def main():
         "value": round(value, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(value / baseline, 3) if baseline else None,
+        **blur_extra,
     }
     if smoke:
         out["note"] = "cpu smoke shapes (driver runs on TPU)"

@@ -36,18 +36,21 @@ class VarianceNorm2d(nn.Module):
 
     bias: bool = False
 
+    @staticmethod
+    def scale_init(key, shape, dtype=jnp.float32):
+        # reference normalization.py:48-52: normal(0.02) jitter around 1
+        return nn.initializers.normal(0.02)(key, shape, dtype) + 1.0
+
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        gamma = self.param(
-            "gamma", lambda k, s: jnp.ones(s) + 0.02 * jnp.zeros(s), (1, 1, 1, c)
-        )
+        scale = self.param("scale", VarianceNorm2d.scale_init, (1, 1, 1, c))
         var = jnp.var(x, axis=(1, 2), keepdims=True)
         h = x / jnp.sqrt(var + 1e-5)
-        out = gamma * h
+        out = scale * h
         if self.bias:
-            beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
-            out = out + beta
+            bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, c))
+            out = out + bias
         return out
 
 

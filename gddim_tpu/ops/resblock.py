@@ -138,7 +138,7 @@ def _conv9_scatter(xs, w_ref, bt, h, w, cout, dtype, group=None):
         (fastest form, most VMEM); 3 = three (M, 3*cout) rounds (default —
         bounds the int32 intermediate at 1/3). Env GDDIM_CONV9_GROUP.
     """
-    group = group or CONV9_GROUP
+    group = group or _conv9_group_for(h * w, sum(x.shape[1] for x in xs))
     acc_t = jnp.int32 if dtype == jnp.int8 else jnp.float32
     out = jnp.zeros((bt, h, w, cout), acc_t)
     taps = [(dy, dx) for dy in range(3) for dx in range(3)]
@@ -449,11 +449,49 @@ RESBLOCK_IMPL = _os.environ.get("GDDIM_RESBLOCK_IMPL", "auto")
 # chip A/B flips the env.
 CONV9_IMPL = _os.environ.get("GDDIM_CONV9_IMPL", "scatter")
 CONV9_GROUP = int(_os.environ.get("GDDIM_CONV9_GROUP", "3"))
+# per-shape tap-group override ("1024:9,1024.384:9,256:3"): keys are n=h*w
+# or n.cin (cin-qualified beats plain n — singles and pairs at the same
+# resolution have different contraction widths and different optima). The
+# best group size trades the wide-N matmul's MXU efficiency against the
+# int32 intermediate's VMEM share, which shifts with the level's geometry.
 
 
-def _kernel_body(static_scales: bool, mm_dtype, n: int = 0) -> "function":
+def _parse_shape_map(env: str) -> dict:
+    out = {}
+    for e in _os.environ.get(env, "").split(","):
+        if not e:
+            continue
+        k, v = e.split(":")
+        key = tuple(int(p) for p in k.split(".")) if "." in k else (int(k), None)
+        out[key] = int(v)
+    return out
+
+
+CONV9_GROUP_MAP = _parse_shape_map("GDDIM_CONV9_GROUP_MAP")
+
+
+def _conv9_group_for(n: int, cin: int | None = None) -> int:
+    if cin is not None and (n, cin) in CONV9_GROUP_MAP:
+        return CONV9_GROUP_MAP[(n, cin)]
+    return CONV9_GROUP_MAP.get((n, None), CONV9_GROUP)
+
+
+# per-shape kernel-body override ("64.512:1,16:1" — value 1=v1, 2=v2), keyed
+# like the other maps by n=h*w or n.cin: the v2 tile-vectorized body wins at
+# most levels under scatter, but its whole-tile f32 VPU passes can lose to
+# v1's per-sample unroll at small-n wide-cin shapes (chip A/B round 5)
+RESBLOCK_IMPL_MAP = _parse_shape_map("GDDIM_RESBLOCK_IMPL_MAP")
+
+
+def _impl_for(n: int, cin: int) -> str:
+    v = RESBLOCK_IMPL_MAP.get((n, cin), RESBLOCK_IMPL_MAP.get((n, None)))
+    return {1: "v1", 2: "v2"}.get(v, RESBLOCK_IMPL)
+
+
+def _kernel_body(static_scales: bool, mm_dtype, n: int = 0,
+                 cin: int = 0) -> "function":
     v2_ok = static_scales or mm_dtype != jnp.int8
-    if RESBLOCK_IMPL in ("v2", "auto") and v2_ok:
+    if _impl_for(n, cin) in ("v2", "auto") and v2_ok:
         return _resblock_kernel_v2
     return _resblock_kernel
 
@@ -482,7 +520,8 @@ def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2,
         if scatter:
             # no padded scratches; instead the wide-N int32 matmul output
             # (group*cout cols) plus the int32 scatter accumulator are live
-            scr = bt * h * w * (CONV9_GROUP * pad(cout, 128) + pad(cout, 128)) * 4
+            g = max(_conv9_group_for(h * w, cin), _conv9_group_for(h * w, cout))
+            scr = bt * h * w * ((g + 1) * pad(cout, 128)) * 4
         else:
             scr = bt * (h + 2) * pad(w + 2, 16) * (pad(cin, 128) + pad(cout, 128)) * 2
         work = work_tiles * bt * h * w * max(cin, cout) * 4
@@ -504,16 +543,19 @@ def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2,
     # when the forced tile would blow the scoped-vmem hard limit (pairs and
     # tails have wider cin at the same n, so a map entry tuned on singles
     # must not take down the whole model).
-    bt_map = _os.environ.get("GDDIM_RESBLOCK_BT_MAP", "")
+    bt_map = _parse_shape_map("GDDIM_RESBLOCK_BT_MAP")
     if bt_map:
-        for entry in bt_map.split(","):
-            n_s, bt_s = entry.split(":")
+        # cin-qualified key beats plain n (singles vs pairs at one level)
+        for key in ((h * w, cin), (h * w, None)):
+            bt_s = bt_map.get(key)
             if (
-                int(n_s) == h * w
-                and b % int(bt_s) == 0
-                and est(int(bt_s)) + weights <= HARD
+                bt_s
+                and b % bt_s == 0
+                and est(bt_s) + weights <= HARD
             ):
-                return int(bt_s)
+                return bt_s
+            if bt_s:
+                break  # matched but over budget: fall through, don't retry n
 
     # 11 MB measured-best END-TO-END: a 16 MB budget (which flips the 32x32
     # level to bt=4, 19% faster standalone) costs 1.4% on the headline —
@@ -566,7 +608,7 @@ def fused_resblock(
     has_mask = drop_mask is not None
     if not has_skip:
         assert c == cout, (c, cout)
-    body = _kernel_body(static, mm_dtype, n=h * w_)
+    body = _kernel_body(static, mm_dtype, n=h * w_, cin=c)
     v2 = body is _resblock_kernel_v2
     scatter = v2 and CONV9_IMPL == "scatter"
     bt = _pick_bt(
@@ -922,8 +964,8 @@ def _resblock_pair_kernel_v2(
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-def _pair_body(static_scales: bool, mm_dtype):
-    if RESBLOCK_IMPL in ("v2", "auto") and (
+def _pair_body(static_scales: bool, mm_dtype, n: int = 0, cin: int = 0):
+    if _impl_for(n, cin) in ("v2", "auto") and (
         static_scales or mm_dtype != jnp.int8
     ):
         return _resblock_pair_kernel_v2
@@ -946,7 +988,7 @@ def fused_resblock_pair(
     assert xb.shape == (b, h, w_, c2)
     cin = c1 + c2
     cout = w1.shape[-1]
-    body = _pair_body(static, mm_dtype)
+    body = _pair_body(static, mm_dtype, n=h * w_, cin=cin)
     v2 = body is _resblock_pair_kernel_v2
     scatter = v2 and CONV9_IMPL == "scatter"
     bt = _pick_bt(
@@ -1069,7 +1111,7 @@ def fused_resblock_tail(
     b, hh, ww, c = h.shape
     cout = w1.shape[-1]
     assert x_skip.shape == (b, hh, ww, c), (x_skip.shape, h.shape)
-    body = _kernel_body(static, mm_dtype)
+    body = _kernel_body(static, mm_dtype, n=hh * ww, cin=c)
     v2 = body is _resblock_kernel_v2
     scatter = v2 and CONV9_IMPL == "scatter"
     bt = _pick_bt(

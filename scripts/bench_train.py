@@ -158,21 +158,6 @@ def main():
             f"of measured ({tfs*1e12/NOMINAL_PEAK*100:4.1f}% of nominal)",
             flush=True,
         )
-        # regression tracking: append a machine-readable row so training
-        # throughput lives in a committed artifact, not only PERF.md prose
-        import json
-        import pathlib
-
-        art = pathlib.Path(__file__).resolve().parent.parent / "artifacts"
-        art.mkdir(exist_ok=True)
-        with open(art / "bench_train.jsonl", "a") as f:
-            f.write(json.dumps({
-                "spec": spec,
-                "ms_per_step": round(dt * 1e3, 2),
-                "img_per_s": round(batch / dt, 1),
-                "mfu_measured_peak": round(tfs * 1e12 / MEASURED_PEAK, 4),
-                "backend": jax.default_backend(),
-            }) + "\n")
         # driver-visible regression record (committed after real-TPU runs):
         # one JSONL row per spec, appended — the analysis compares the
         # latest row per spec against history
