@@ -3,8 +3,8 @@
 Methodology per PERF.md: n_jitted_steps scanned INSIDE one jit (the tunnel
 costs ~1.1 ms/dispatch), sync by fetching the in-graph scalar loss. FLOPs
 are exact from XLA cost_analysis on the compiled step. MFU is reported
-against the chip's measured bf16 matmul peak (159 TF/s, PERF.md) and the
-v5e nominal 197 TF/s.
+against the chip's verified bf16 matmul peak (175 TF/s, PERF.md round-4
+peak matrix) and the v5e nominal 197 TF/s.
 
 Usage: PYTHONPATH=.:$PYTHONPATH python scripts/bench_train.py [cfgs...]
   cfg = dtype[,remat][,b<batch>]   e.g. bf16,remat,b128

@@ -1382,3 +1382,37 @@ def test_fused_resblock_scatter_matches_gather(rng, monkeypatch):
                         a, b, rtol=tol, atol=tol,
                         err_msg=f"{name} g={group} {mm}",
                     )
+
+
+def test_shape_map_cin_qualified_keys(monkeypatch):
+    """Round-5 per-shape override maps: n.cin-qualified keys beat plain n
+    keys, and each lookup surface (tap group, kernel body, batch tile)
+    resolves them independently (singles and pairs at one resolution have
+    different optima — exp_floor_scatter.py / exp_block_ab_r5.py)."""
+    import gddim_tpu.ops.resblock as R
+
+    monkeypatch.setenv("GDDIM_X_TEST_MAP", "1024:4,1024.256:2,64.512:1")
+    parsed = R._parse_shape_map("GDDIM_X_TEST_MAP")
+    assert parsed == {(1024, None): 4, (1024, 256): 2, (64, 512): 1}
+
+    # group lookup: qualified beats plain, plain beats global
+    monkeypatch.setattr(R, "CONV9_GROUP_MAP",
+                        {(1024, None): 9, (1024, 256): 1})
+    assert R._conv9_group_for(1024, 256) == 1
+    assert R._conv9_group_for(1024, 128) == 9
+    assert R._conv9_group_for(256, 256) == R.CONV9_GROUP
+
+    # impl lookup: 1 -> v1, 2 -> v2, absent -> module default
+    monkeypatch.setattr(R, "RESBLOCK_IMPL_MAP", {(64, 512): 1, (16, None): 2})
+    assert R._impl_for(64, 512) == "v1"
+    assert R._impl_for(16, 512) == "v2"
+    assert R._impl_for(1024, 128) == R.RESBLOCK_IMPL
+
+    # bt lookup: cin-qualified entry only hits its own width
+    monkeypatch.setenv("GDDIM_RESBLOCK_BT_MAP", "64.256:16")
+    assert R._pick_bt(64, 8, 8, 256, 256, max_bt=64, work_tiles=3,
+                      scatter=True) == 16
+    # the (64, 256)-qualified entry must not hit the cin=512 pair shape
+    assert R._pick_bt(64, 8, 8, 512, 256, max_bt=64, work_tiles=3,
+                      scatter=True) != 16
+    monkeypatch.delenv("GDDIM_RESBLOCK_BT_MAP")
