@@ -467,7 +467,22 @@ def _parse_shape_map(env: str) -> dict:
     return out
 
 
-CONV9_GROUP_MAP = _parse_shape_map("GDDIM_CONV9_GROUP_MAP")
+# Round-5 battery winners (PERF.md round-5 lever table, end-to-end verdict
+# "full combo minus 32x32": 96.8 vs 95.5 img/s for the bare r4 policy in the
+# same session): per-shape defaults baked in so production needs no env.
+# GDDIM_* map entries still override per key; value 0 drops a default entry
+# (restoring the global/auto pick for that shape).
+_DEFAULT_CONV9_GROUP_MAP = {(16, 256): 9, (16, 512): 9}  # 4x4 singles+pairs
+_DEFAULT_BT_MAP = {(64, 256): 16, (16, 512): 32, (1024, 256): 2}
+
+CONV9_GROUP_MAP = {
+    k: v
+    for k, v in {
+        **_DEFAULT_CONV9_GROUP_MAP,
+        **_parse_shape_map("GDDIM_CONV9_GROUP_MAP"),
+    }.items()
+    if v
+}
 
 
 def _conv9_group_for(n: int, cin: int | None = None) -> int:
@@ -544,6 +559,9 @@ def _pick_bt(b, h, w, cin, cout, max_bt: int = 16, work_tiles: int = 2,
     # tails have wider cin at the same n, so a map entry tuned on singles
     # must not take down the whole model).
     bt_map = _parse_shape_map("GDDIM_RESBLOCK_BT_MAP")
+    if scatter:  # the round-5 defaults were tuned under the scatter conv form
+        bt_map = {**_DEFAULT_BT_MAP, **bt_map}
+    bt_map = {k: v for k, v in bt_map.items() if v}
     if bt_map:
         # cin-qualified key beats plain n (singles vs pairs at one level)
         for key in ((h * w, cin), (h * w, None)):

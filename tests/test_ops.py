@@ -1416,3 +1416,28 @@ def test_shape_map_cin_qualified_keys(monkeypatch):
     assert R._pick_bt(64, 8, 8, 512, 256, max_bt=64, work_tiles=3,
                       scatter=True) != 16
     monkeypatch.delenv("GDDIM_RESBLOCK_BT_MAP")
+
+
+def test_round5_default_policy_baked_in(monkeypatch):
+    """The round-5 battery winner ships as in-code defaults (no env needed):
+    bt 16 at 8x8 singles, 32 at 4x4 pairs, 2 at 32x32 pairs (scatter form
+    only), g=9 at both 4x4 widths; value 0 in the env map drops a default."""
+    import gddim_tpu.ops.resblock as R
+
+    monkeypatch.delenv("GDDIM_RESBLOCK_BT_MAP", raising=False)
+    assert R._pick_bt(64, 8, 8, 256, 256, max_bt=64, work_tiles=3,
+                      scatter=True) == 16
+    assert R._pick_bt(64, 4, 4, 512, 256, max_bt=64, work_tiles=3,
+                      scatter=True) == 32
+    assert R._pick_bt(64, 32, 32, 256, 128, max_bt=64, work_tiles=3,
+                      scatter=True) == 2
+    # gather form keeps the budget pick (defaults tuned under scatter only):
+    # the (1024, 256) default bt=2 must not leak into the gather path
+    assert R._pick_bt(64, 32, 32, 256, 128, max_bt=64, work_tiles=3,
+                      scatter=False) == 1
+    # env value 0 drops the default entry for that shape
+    monkeypatch.setenv("GDDIM_RESBLOCK_BT_MAP", "64.256:0")
+    assert R._pick_bt(64, 8, 8, 256, 256, max_bt=64, work_tiles=3,
+                      scatter=True) != 16
+    assert R._conv9_group_for(16, 256) == 9
+    assert R._conv9_group_for(16, 512) == 9
