@@ -96,8 +96,13 @@ def get_default_configs():
     model.attention_impl = "auto"  # 'xla' | 'pallas' | 'auto'
     model.conv_impl = "xla"  # 'xla' | 'pallas' | 'int8' | 'fused' | 'fused_int8'
     # training-path whole-block fusion: fused bf16 Pallas forward +
-    # XLA-recomputed backward for eligible res-blocks (TPU only)
-    model.fused_train = False
+    # XLA-recomputed backward for eligible res-blocks (TPU only; CPU and
+    # ineligible widths fall through to the normal path). Round-5 chip A/B
+    # (artifacts/train_ab_r5.log): 681.6 img/s vs 671.1 for the selective-
+    # remat spec at b128 — the custom_vjp already keeps block interiors out
+    # of HBM, so it REPLACES remat for the eligible blocks; combining both
+    # measured slower (674.6).
+    model.fused_train = True
 
     config.optim = optim = ml_collections.ConfigDict()
     optim.weight_decay = 0
