@@ -1725,6 +1725,14 @@ def make_fused_resblock_train(
     w2, b2, w_skip, b_skip, mask). mask: (B, H, W, Cout) int8 {0,1}; pass an
     all-ones mask when keep_prob == 1. When has_skip is False, w_skip/b_skip
     are ignored placeholders (zero gradients).
+
+    Backward policy (GDDIM_FUSED_BWD): '1' (default) takes the fused Pallas
+    backward kernel (ops/resblock_bwd.py — one VMEM pass recomputing the
+    interior and producing all thirteen gradients) wherever its VMEM
+    estimate fits; '0' forces the XLA recompute of the unfused composition
+    everywhere. Both produce the reference block's gradients; the Pallas
+    path differs only by bf16 matmul rounding (equivalence-gated in
+    tests/test_ops.py).
     """
     mmdt = mm_dtype or jnp.bfloat16
     ref_kw = dict(
@@ -1754,10 +1762,24 @@ def make_fused_resblock_train(
 
     def bwd(res, g):
         diff, mask = res[:12], res[12]
-        _, vjp = jax.vjp(
-            lambda *a: resblock_train_reference(*a, mask, **ref_kw), *diff
-        )
-        grads = vjp(g)
+        from gddim_tpu.ops import resblock_bwd as _bwd
+
+        x = diff[0]
+        if (
+            _os.environ.get("GDDIM_FUSED_BWD", "1") != "0"
+            and jax.default_backend() == "tpu"
+            and _bwd.supported_bwd(x.shape, diff[4].shape[-1])
+        ):
+            grads = _bwd.fused_resblock_train_grads(
+                *diff, mask, g, num_groups1=num_groups1,
+                num_groups2=num_groups2, eps=eps, skip_rescale=skip_rescale,
+                keep_prob=keep_prob, has_skip=has_skip, mm_dtype=mmdt,
+            )
+        else:
+            _, vjp = jax.vjp(
+                lambda *a: resblock_train_reference(*a, mask, **ref_kw), *diff
+            )
+            grads = vjp(g)
         # integer-dtype primal -> float0 cotangent
         mask_ct = np.zeros(mask.shape, dtype=jax.dtypes.float0)
         return (*grads, mask_ct)

@@ -345,6 +345,14 @@ def _train(config, workdir: str):
 
 def restore_state(config, ckpt: str | int, workdir: str | None = None):
     """Restore a TrainState from an orbax snapshot id or a legacy msgpack file."""
+    # the stored state.rng was created under training.prng_impl (train()
+    # pins it): the restore template must match, or orbax rejects the key
+    # shape (rbg keys are (4,) uint32, threefry (2,)) in any fresh process
+    # that restores without training first (sample/eval/fid modes)
+    jax.config.update(
+        "jax_default_prng_impl",
+        str(getattr(config.training, "prng_impl", "rbg")),
+    )
     rng = jax.random.PRNGKey(config.seed)
     model, model_state, params = init_model(rng, config)
     state = create_train_state(jax.random.PRNGKey(0), config, params, model_state)

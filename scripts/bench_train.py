@@ -26,7 +26,7 @@ FWD_GFLOP_PER_IMG = 34.75  # exact, XLA cost_analysis on the eps fn (PERF.md)
 
 
 def build(dtype: str, remat, batch: int, dropout=None, grad_only=False,
-          fused_train=False):
+          fused_train=False, fwd_only=False, no_attn=False):
     from functools import partial
 
     from gddim_tpu.configs import get_config
@@ -42,6 +42,10 @@ def build(dtype: str, remat, batch: int, dropout=None, grad_only=False,
     if dropout is not None:
         cfg.model.dropout = dropout
     cfg.model.fused_train = fused_train
+    if no_attn:
+        # decomposition mode: delete the attention blocks (fwd AND their
+        # VJPs) to attribute their share of the step
+        cfg.model.attn_resolutions = ()
     # same PRNG the production train loop uses (run_lib.train); override
     # with JAX_DEFAULT_PRNG_IMPL or config for A/B
     import os
@@ -56,7 +60,22 @@ def build(dtype: str, remat, batch: int, dropout=None, grad_only=False,
     sde = CLD.from_config(cfg)
     state = create_train_state(jax.random.PRNGKey(1), cfg, params, mstate)
     loss_fn = make_cld_loss_fn(sde, model, train=True)
-    if grad_only:
+    if fwd_only:
+        # decomposition mode: scanned loss VALUE only (no grad, no update) —
+        # the training forward's share of the step under the same config
+        import jax as _jax
+        from jax import lax
+
+        @_jax.jit
+        def step(st, batches):
+            def one(carry, b):
+                rng_c = carry
+                rng_c, sr = _jax.random.split(rng_c)
+                loss, (info, _) = loss_fn(sr, st.params, st.model_state, b)
+                return rng_c, info
+            _, infos = lax.scan(one, st.rng, batches)
+            return st, _jax.tree.map(jnp.mean, infos)
+    elif grad_only:
         # decomposition mode: value_and_grad of the loss, scanned, but NO
         # optimizer update / EMA / state rebuild — isolates fwd+bwd cost
         import jax as _jax
@@ -127,10 +146,20 @@ def main():
         # XLA-recomputed backward (custom_vjp) — usually run with remat OFF,
         # since the custom_vjp already keeps block interiors out of HBM
         fused_train = "fusedfwd" in parts
+        fwd_only = "fwdonly" in parts
+        no_attn = "noattn" in parts
+        # fusedbwd / nofusedbwd: pin the Pallas block-backward policy for
+        # this spec (ops/resblock_bwd.py; default follows GDDIM_FUSED_BWD)
+        import os as _os
+
+        if "fusedbwd" in parts:
+            _os.environ["GDDIM_FUSED_BWD"] = "1"
+        elif "nofusedbwd" in parts:
+            _os.environ["GDDIM_FUSED_BWD"] = "0"
         try:
             step, state, batch_data = build(
                 dtype, remat, batch, dropout=dropout, grad_only=grad_only,
-                fused_train=fused_train,
+                fused_train=fused_train, fwd_only=fwd_only, no_attn=no_attn,
             )
             dt = bench(step, state, batch_data)
         except Exception as e:
@@ -160,7 +189,11 @@ def main():
         )
         # driver-visible regression record (committed after real-TPU runs):
         # one JSONL row per spec, appended — the analysis compares the
-        # latest row per spec against history
+        # latest row per spec against history. Decomposition rows (fwdonly/
+        # gradonly/noattn/nodrop) are diagnostics, not configs — keep them
+        # out of the per-spec history.
+        if fwd_only or grad_only or no_attn or dropout is not None:
+            continue
         import json
         from pathlib import Path
 

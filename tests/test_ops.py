@@ -1441,3 +1441,104 @@ def test_round5_default_policy_baked_in(monkeypatch):
                       scatter=True) != 16
     assert R._conv9_group_for(16, 256) == 9
     assert R._conv9_group_for(16, 512) == 9
+
+
+@pytest.mark.parametrize(
+    "cin,cout,has_skip,dropout,rescale",
+    [
+        (128, 128, False, 0.1, True),
+        (256, 128, True, 0.1, True),
+        (128, 256, True, 0.0, True),
+        (128, 128, True, 0.3, False),
+    ],
+)
+def test_fused_resblock_bwd_kernel_matches_vjp(
+    rng, cin, cout, has_skip, dropout, rescale
+):
+    """The fused Pallas backward kernel (ops/resblock_bwd.py) reproduces
+    jax.vjp of resblock_train_reference for all 12 gradients — f32 matmuls
+    in interpret mode make the comparison near-exact."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.ops import resblock_bwd as rbw
+    from gddim_tpu.ops.resblock import resblock_train_reference
+
+    B, H = 2, 8
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    x = f(B, H, H, cin)
+    temb = f(B, cout)
+    gn1s, gn1b = f(cin) + 1.0, f(cin) * 0.1
+    w1, b1 = f(3, 3, cin, cout) * 0.05, f(cout) * 0.1
+    gn2s, gn2b = f(cout) + 1.0, f(cout) * 0.1
+    w2, b2 = f(3, 3, cout, cout) * 0.05, f(cout) * 0.1
+    wsk = f(cin, cout) * 0.1 if has_skip else jnp.zeros((1, 1))
+    bsk = f(cout) * 0.1 if has_skip else jnp.zeros((1,))
+    keep = 1.0 - dropout
+    mask = jnp.asarray(
+        (rng.random((B, H, H, cout)) < keep).astype(np.int8)
+    )
+    g = f(B, H, H, cout)
+    ng1, ng2 = min(cin // 4, 32), min(cout // 4, 32)
+    _, vjp = jax.vjp(
+        lambda *a: resblock_train_reference(
+            *a, mask, keep_prob=keep, has_skip=has_skip, num_groups1=ng1,
+            num_groups2=ng2, skip_rescale=rescale,
+        ),
+        x, temb, gn1s, gn1b, w1, b1, gn2s, gn2b, w2, b2, wsk, bsk,
+    )
+    ref = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = rbw.fused_resblock_train_grads(
+            x, temb, gn1s, gn1b, w1, b1, gn2s, gn2b, w2, b2, wsk, bsk,
+            mask, g, num_groups1=ng1, num_groups2=ng2, skip_rescale=rescale,
+            keep_prob=keep, has_skip=has_skip, mm_dtype=jnp.float32,
+        )
+    names = [
+        "dx", "dtemb", "dgn1s", "dgn1b", "dw1", "db1", "dgn2s", "dgn2b",
+        "dw2", "db2", "dwsk", "dbsk",
+    ]
+    for nm, r, gt in zip(names, ref, got):
+        if nm in ("dwsk", "dbsk") and not has_skip:
+            continue
+        r, gt = np.asarray(r), np.asarray(gt)
+        err = np.abs(r - gt).max() / (np.abs(r).max() + 1e-12)
+        assert err < 2e-5, (nm, err)
+
+
+def test_fused_resblock_bwd_policy_and_bt():
+    """supported_bwd: 128-multiple channels with a fitting VMEM estimate;
+    the 32x32 cin=384 concat pair must fall back (estimate over budget)."""
+    from gddim_tpu.ops import resblock_bwd as rbw
+
+    assert rbw.supported_bwd((64, 32, 32, 128), 128)
+    assert rbw.supported_bwd((64, 8, 8, 256), 256)
+    assert not rbw.supported_bwd((64, 32, 32, 120), 128)  # lane alignment
+    # the wide-cin concat pairs exceed the VMEM estimate at 16x16/512 and
+    # fall back to the XLA recompute path (round-5 coverage frontier)
+    assert rbw._pick_bt_bwd(64, 32, 32, 384, 128, 3) in (0, 1)
+
+
+def test_make_fused_resblock_train_pallas_bwd_gate(monkeypatch):
+    """GDDIM_FUSED_BWD=0 forces the XLA recompute backward; on CPU the
+    Pallas path is never taken regardless (backend gate)."""
+    import gddim_tpu.ops.resblock as R
+
+    monkeypatch.setenv("GDDIM_FUSED_BWD", "0")
+    f = R.make_fused_resblock_train(
+        num_groups1=32, num_groups2=32, keep_prob=1.0, has_skip=False
+    )
+    x = jnp.ones((1, 8, 8, 128), jnp.float32)
+    temb = jnp.zeros((1, 128), jnp.float32)
+    ones = jnp.ones((128,), jnp.float32)
+    zeros = jnp.zeros((128,), jnp.float32)
+    w = jnp.zeros((3, 3, 128, 128), jnp.float32)
+    wsp, bsp = jnp.zeros((1, 1)), jnp.zeros((1,))
+    mask = jnp.ones((1, 8, 8, 128), jnp.int8)
+    out, grads = jax.value_and_grad(
+        lambda xx: jnp.sum(
+            f(xx, temb, ones, zeros, w, zeros, ones, zeros, w, zeros,
+              wsp, bsp, mask) ** 2
+        )
+    )(x)
+    assert np.isfinite(float(out))
+    assert np.isfinite(np.asarray(grads)).all()
