@@ -93,9 +93,29 @@ def _wgrad9(v4, rhs_mm, cout, mm_dtype, gw):
     return jnp.concatenate(parts, axis=0)
 
 
+def _dgrad9(gmm, wf_ref, bt, h, w, cin, cout, mm_dtype):
+    """Conv dgrad from the FORWARD-packed (cin, 9*cout) weights: per tap,
+    y_t = g @ W[t]^T (a transposed-contraction dot — the MXU streams either
+    orientation), scattered with the flipped shift. Avoids holding a second
+    tap-flipped transposed weight layout in VMEM, which is what pushed the
+    wide-cin pair shapes over the scoped-VMEM limit.
+
+    dx[o] = sum_t g[o - dt] @ W[t]^T  ==  sum_t shift_{flip t}(g @ W[t]^T)[o].
+    """
+    acc = jnp.zeros((bt, h, w, cin), jnp.float32)
+    for t, (dy, dx) in enumerate(_TAPS):
+        wt = wf_ref[:, t * cout : (t + 1) * cout]
+        y = jax.lax.dot_general(
+            gmm, wt.astype(mm_dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bt, h, w, cin)
+        acc = acc + _tap_shift(y, 2 - dy, 2 - dx)
+    return acc.reshape(bt * h * w, cin)
+
+
 def _resblock_bwd_kernel(
     x_ref, g_ref, temb_ref, gn1s_ref, gn1b_ref, p1_ref, w1f_ref, b1_ref,
-    gn2s_ref, gn2b_ref, p2_ref, w1bt_ref, w2bt_ref, wskipt_ref,
+    gn2s_ref, gn2b_ref, p2_ref, w2f_ref, wskip_ref,
     *rest,
     bt, h, w, cin, cout, inv_n1, inv_n2, eps, has_skip, rescale, mm_dtype,
     has_mask, inv_keep, gw,
@@ -103,7 +123,14 @@ def _resblock_bwd_kernel(
     """One batch tile: recompute the forward interior from x, then produce
     every gradient. All tile math is vectorized over (bt, n, C) like the v2
     forward body; GN statistics and their backward reductions ride the
-    (C, C) group-indicator matmul."""
+    (C, C) group-indicator matmul.
+
+    VMEM discipline (what lets the wide-cin pairs fit): only yhat1/sig1 and
+    yhat2/sig2 persist from the recompute — x, y1, y2 and the conv1 output
+    are re-derived from them on use (x = yhat1/rstd + mean, y = yhat*s + b,
+    two VPU ops each); the dgrads read the FORWARD-packed weights via
+    transposed-contraction dots (_dgrad9), so no second weight layout is
+    resident; wgrad/skip matmul inputs exist only as mm-dtype casts."""
     rest = list(rest)
     mask_ref = rest.pop(0) if has_mask else None
     (dx_ref, dtemb_ref, rows_cin_ref, rows_cout_ref, dw1_ref, dw2_ref,
@@ -133,13 +160,15 @@ def _resblock_bwd_kernel(
         )
 
     # ---- forward recompute: GN1+SiLU -> conv1+b1+temb -> GN2+SiLU ---------
-    x3 = x_ref[...].astype(f32)  # (bt, n, cin)
+    x3 = x_ref[...].astype(f32)  # (bt, n, cin); dies after yhat1
     mean1, rstd1 = gn_stats(x3, p1_ref[...], inv_n1)
     yhat1 = (x3 - mean1[:, None, :]) * rstd1[:, None, :]
-    y1 = yhat1 * gn1s_ref[...] + gn1b_ref[...]
-    sig1 = jax.nn.sigmoid(y1)
-    a1 = y1 * sig1
-    a1mm = a1.reshape(bt * n, cin).astype(mm_dtype)
+
+    def y1_of():  # recompute GN1 affine output from the held normalized value
+        return yhat1 * gn1s_ref[...] + gn1b_ref[...]
+
+    sig1 = jax.nn.sigmoid(y1_of())
+    a1mm = (y1_of() * sig1).reshape(bt * n, cin).astype(mm_dtype)
     u3 = (
         _conv9_scatter([a1mm], w1f_ref, bt, h, w, cout, mm_dtype)
         .reshape(bt, n, cout)
@@ -149,8 +178,11 @@ def _resblock_bwd_kernel(
     )
     mean2, rstd2 = gn_stats(u3, p2_ref[...], inv_n2)
     yhat2 = (u3 - mean2[:, None, :]) * rstd2[:, None, :]
-    y2 = yhat2 * gn2s_ref[...] + gn2b_ref[...]
-    sig2 = jax.nn.sigmoid(y2)
+
+    def y2_of():
+        return yhat2 * gn2s_ref[...] + gn2b_ref[...]
+
+    sig2 = jax.nn.sigmoid(y2_of())
 
     # ---- epilogue backward: out = (skip + conv2(d) + b2) * r --------------
     g3 = g_ref[...].astype(f32)
@@ -161,24 +193,21 @@ def _resblock_bwd_kernel(
 
     # ---- conv2 backward ---------------------------------------------------
     # wgrad2 contracts the dropout output d against g; d is recomputed here
-    d3 = y2 * sig2
+    d3 = y2_of() * sig2
     if has_mask:
         maskf = mask_ref[...].astype(f32) * inv_keep
         d3 = d3 * maskf
     dw2_ref[...] += _wgrad9(
         d3.reshape(bt, h, w, cout).astype(mm_dtype), gmm, cout, mm_dtype, gw
     )
-    # dgrad2: scatter conv of g with tap-flipped transposed w2
-    gd3 = (
-        _conv9_scatter([gmm], w2bt_ref, bt, h, w, cout, mm_dtype)
-        .reshape(bt, n, cout)
-        .astype(f32)
+    gd3 = _dgrad9(gmm, w2f_ref, bt, h, w, cout, cout, mm_dtype).reshape(
+        bt, n, cout
     )
     if has_mask:
         gd3 = gd3 * maskf
 
     # ---- GN2+SiLU backward -> gu = dL/du ----------------------------------
-    dy2 = gd3 * (sig2 * (1.0 + y2 * (1.0 - sig2)))
+    dy2 = gd3 * (sig2 * (1.0 + y2_of() * (1.0 - sig2)))
     dgn2s = jnp.sum(dy2 * yhat2, axis=(0, 1))[None]
     dgn2b = jnp.sum(dy2, axis=(0, 1))[None]
     dyh2 = dy2 * gn2s_ref[...]
@@ -194,16 +223,15 @@ def _resblock_bwd_kernel(
 
     # ---- conv1 backward ---------------------------------------------------
     dw1_ref[...] += _wgrad9(
-        a1.reshape(bt, h, w, cin).astype(mm_dtype), gumm, cout, mm_dtype, gw
+        (y1_of() * sig1).reshape(bt, h, w, cin).astype(mm_dtype),
+        gumm, cout, mm_dtype, gw,
     )
-    ga1 = (
-        _conv9_scatter([gumm], w1bt_ref, bt, h, w, cin, mm_dtype)
-        .reshape(bt, n, cin)
-        .astype(f32)
+    ga1 = _dgrad9(gumm, w1f_ref, bt, h, w, cin, cout, mm_dtype).reshape(
+        bt, n, cin
     )
 
     # ---- GN1+SiLU backward -> dx (main branch) ----------------------------
-    dy1 = ga1 * (sig1 * (1.0 + y1 * (1.0 - sig1)))
+    dy1 = ga1 * (sig1 * (1.0 + y1_of() * (1.0 - sig1)))
     dgn1s = jnp.sum(dy1 * yhat1, axis=(0, 1))[None]
     dgn1b = jnp.sum(dy1, axis=(0, 1))[None]
     dyh1 = dy1 * gn1s_ref[...]
@@ -213,15 +241,17 @@ def _resblock_bwd_kernel(
         dyh1 - s1a[:, None, :] - yhat1 * s2a[:, None, :]
     )
 
-    # ---- skip branch ------------------------------------------------------
+    # ---- skip branch (x re-derived from yhat1: x died after the stats) ----
     if has_skip:
+        x_rec = (
+            yhat1 / rstd1[:, None, :] + mean1[:, None, :]
+        ).reshape(bt * n, cin).astype(mm_dtype)
         dwskip_ref[...] += jax.lax.dot_general(
-            x3.reshape(bt * n, cin).astype(mm_dtype), gmm,
-            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            x_rec, gmm, (((0,), (0,)), ((), ())), preferred_element_type=f32,
         )
         dx3 = dx3 + jax.lax.dot_general(
-            gmm, wskipt_ref[...].astype(mm_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            gmm, wskip_ref[...].astype(mm_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
         ).reshape(bt, n, cin)
     else:
         dx3 = dx3 + g3  # identity skip (cin == cout)
@@ -238,12 +268,36 @@ def _resblock_bwd_kernel(
     )
 
 
+def _parse_bt_map(env: str) -> dict:
+    out = {}
+    for e in _os.environ.get(env, "").split(","):
+        if not e:
+            continue
+        k, v = e.split(":")
+        key = tuple(int(p) for p in k.split(".")) if "." in k else (int(k), None)
+        out[key] = int(v)
+    return out
+
+
+# per-shape batch-tile picks, keyed (n, cin) like the forward maps; value 0
+# vetoes the Pallas backward for that shape (XLA recompute fallback).
+# Defaults come from the round-5 on-chip probe (scripts/exp_bwd_shapes.py);
+# GDDIM_BWD_BT_MAP overrides per key.
+_DEFAULT_BWD_BT_MAP: dict = {}
+
+
+def _bwd_bt_map() -> dict:
+    return {**_DEFAULT_BWD_BT_MAP, **_parse_bt_map("GDDIM_BWD_BT_MAP")}
+
+
 def _pick_bt_bwd(b, h, w, cin, cout, gw) -> int:
-    """Largest batch tile whose resident set fits Mosaic's scoped-VMEM
-    limit. The backward holds more live whole-tile f32 values than the
-    forward (the recomputed interior AND the cotangent chains), so the
-    estimate budgets ~6 cin-sized + ~7 cout-sized f32 tiles plus the mm
-    copies, the wgrad concat, the weight operands and the accumulators."""
+    """Batch tile for the backward kernel: per-shape probe map first, then
+    the largest tile whose resident-set estimate fits Mosaic's scoped-VMEM
+    limit. The estimate budgets the persistent normalized values (yhat1/
+    sig1 f32 at cin, yhat2/sig2/others at cout), the live cotangent chain,
+    the mm-dtype casts, the wgrad concat, the dgrad per-tap intermediate,
+    the double-buffered blocks, the forward-packed weights and the f32
+    weight-grad accumulators."""
 
     def pad(v, m):
         return -(-v // m) * m
@@ -251,22 +305,31 @@ def _pick_bt_bwd(b, h, w, cin, cout, gw) -> int:
     n = h * w
     ci, co = pad(cin, 128), pad(cout, 128)
 
+    bt_env = int(_os.environ.get("GDDIM_BWD_BT", "0"))
+    if bt_env and b % bt_env == 0:
+        return bt_env
+    for key in ((n, cin), (n, None)):
+        if key in _bwd_bt_map():
+            bt_m = _bwd_bt_map()[key]
+            if bt_m == 0:
+                return 0
+            if b % bt_m == 0:
+                return bt_m
+            break
+
     def est(bt):
-        cin_tiles = 6 * bt * n * ci * 4 + 2 * bt * n * ci * 2
-        cout_tiles = 7 * bt * n * co * 4 + 3 * bt * n * co * 2
+        cin_tiles = 4 * bt * n * ci * 4 + 2 * bt * n * ci * 2
+        cout_tiles = 5 * bt * n * co * 4 + 3 * bt * n * co * 2
         concat = bt * n * gw * max(ci, co) * 2
-        conv_int = bt * n * 3 * max(ci, co) * 4  # scatter group intermediate
+        conv_int = bt * n * 3 * max(ci, co) * 4  # scatter/dgrad intermediate
         blocks = 2 * bt * n * (ci + co) * 2 * 2  # x,g dx double-buffered
         return cin_tiles + cout_tiles + concat + conv_int + blocks
 
-    weights = (9 * (cin * cout) * 2 + 9 * cout * cout + cin * cout) * 2 + (
+    weights = 9 * (cin * cout + cout * cout) * 2 + cin * cout * 2 + (
         cin * cin + cout * cout
     ) * 4
     accums = (9 * cin * cout + 9 * cout * cout + cin * cout) * 4
     HARD = int(15.0 * 2**20)
-    bt_env = int(_os.environ.get("GDDIM_BWD_BT", "0"))
-    if bt_env and b % bt_env == 0:
-        return bt_env
     for bt in (32, 16, 8, 4, 2, 1):
         if b % bt:
             continue
@@ -304,17 +367,18 @@ def fused_resblock_train_grads(
     n = h * w_
 
     wdt = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
-    w1_9 = jnp.asarray(w1, jnp.float32).reshape(9, cin, cout)
-    w1f = _pack_w_scatter(w1_9.astype(wdt))  # (cin, 9*cout) forward
-    w1bt = _pack_w_scatter(
-        w1_9[::-1].transpose(0, 2, 1).astype(wdt)
-    )  # (cout, 9*cin) tap-flipped transpose for dgrad1
-    w2_9 = jnp.asarray(w2, jnp.float32).reshape(9, cout, cout)
-    w2bt = _pack_w_scatter(w2_9[::-1].transpose(0, 2, 1).astype(wdt))
-    wskipt = (
-        jnp.asarray(w_skip, jnp.float32).reshape(cin, cout).T.astype(wdt)
+    # forward-packed layouts only: the dgrads contract the transposed side
+    # in-kernel (_dgrad9), so no tap-flipped copies are resident
+    w1f = _pack_w_scatter(
+        jnp.asarray(w1, jnp.float32).reshape(9, cin, cout).astype(wdt)
+    )  # (cin, 9*cout)
+    w2f = _pack_w_scatter(
+        jnp.asarray(w2, jnp.float32).reshape(9, cout, cout).astype(wdt)
+    )  # (cout, 9*cout)
+    wskip_op = (
+        jnp.asarray(w_skip, jnp.float32).reshape(cin, cout).astype(wdt)
         if has_skip
-        else jnp.zeros((cout, cin), wdt)
+        else jnp.zeros((cin, cout), wdt)
     )
     row = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
     temb_b = jnp.broadcast_to(
@@ -335,7 +399,7 @@ def fused_resblock_train_grads(
         row(gn1_scale), row(gn1_bias), _group_indicator(cin, num_groups1),
         w1f, row(b1),
         row(gn2_scale), row(gn2_bias), _group_indicator(cout, num_groups2),
-        w1bt, w2bt, wskipt,
+        w2f, wskip_op,
     ]
     if has_mask:
         args.append(jnp.asarray(mask, jnp.int8).reshape(b, n, cout))
@@ -355,7 +419,7 @@ def fused_resblock_train_grads(
             const((1, cin)), const((1, cin)), const((cin, cin)),
             const(w1f.shape), const((1, cout)),
             const((1, cout)), const((1, cout)), const((cout, cout)),
-            const(w1bt.shape), const(w2bt.shape), const((cout, cin)),
+            const(w2f.shape), const((cin, cout)),
         ] + ([blocked((bt, n, cout))] if has_mask else []),
         out_specs=[
             blocked((bt, n, cin)),         # dx
