@@ -7,6 +7,7 @@ the published checkpoints (see gddim_tpu/checkpoints/legacy.py).
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -101,6 +102,32 @@ class AttnBlockpp(nn.Module):
                     else jnp.bfloat16
                 ),
                 act_scales=_static_scales(self, "h", "a"),
+            )
+
+        # TRAINING whole-block fusion (model.fused_train): fused bf16 Pallas
+        # forward, backward = jax.vjp of the unfused composition recomputed
+        # from x (ops/attnblock.py:make_fused_attnblock_train). The block has
+        # no dropout, so forward and backward share the exact function.
+        if (
+            layers.FUSED_TRAIN
+            and _os.environ.get("GDDIM_FUSED_ATTN_TRAIN", "1") != "0"
+            and train
+            and not calibrating
+            and not self.is_initializing()
+            and attnblock_ops.supported(x.shape)
+        ):
+            vs = self.variables["params"]
+            c = x.shape[-1]
+            f = attnblock_ops.make_fused_attnblock_train(
+                num_groups=min(c // 4, 32), skip_rescale=self.skip_rescale,
+            )
+            return f(
+                x,
+                vs["GroupNorm_0"]["scale"], vs["GroupNorm_0"]["bias"],
+                vs["NIN_0"]["W"], vs["NIN_0"]["b"],
+                vs["NIN_1"]["W"], vs["NIN_1"]["b"],
+                vs["NIN_2"]["W"], vs["NIN_2"]["b"],
+                vs["NIN_3"]["W"], vs["NIN_3"]["b"],
             )
 
         h = group_norm(x)

@@ -290,3 +290,41 @@ def supported(x_shape) -> bool:
         and n % 8 == 0
         and (3 * n * c + n * n + n * c) * 4 + 5 * c * c * 4 < 8 * 2**20
     )
+
+
+def make_fused_attnblock_train(
+    *, num_groups: int, eps: float = 1e-6, skip_rescale: bool = False,
+    mm_dtype=None,
+):
+    """Differentiable fused attention block for TRAINING.
+
+    Forward: the fused Pallas kernel (bf16 MXU, one HBM read of x / write
+    of out; the (S, S) score matrix never leaves VMEM). Backward: jax.vjp
+    of the unfused XLA composition recomputed from the saved primal inputs
+    — the make_fused_resblock_train pattern (ops/resblock.py). Gradients
+    are exactly the unfused path's; the forward/backward value skew is the
+    kernel-vs-XLA bf16 difference.
+
+    Returns f(x, gn_scale, gn_bias, wq, bq, wk, bk, wv, bv, wo, bo).
+    """
+    mmdt = mm_dtype or jnp.bfloat16
+    kw = dict(num_groups=num_groups, eps=eps, skip_rescale=skip_rescale)
+
+    @jax.custom_vjp
+    def f(x, gns, gnb, wq, bq, wk, bk, wv, bv, wo, bo):
+        if jax.default_backend() == "tpu" and supported(x.shape):
+            return fused_attnblock(
+                x, gns, gnb, wq, bq, wk, bk, wv, bv, wo, bo,
+                mm_dtype=mmdt, **kw,
+            )
+        return attnblock_reference(x, gns, gnb, wq, bq, wk, bk, wv, bv, wo, bo, **kw)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda *a: attnblock_reference(*a, **kw), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f

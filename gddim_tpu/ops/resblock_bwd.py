@@ -281,9 +281,12 @@ def _parse_bt_map(env: str) -> dict:
 
 # per-shape batch-tile picks, keyed (n, cin) like the forward maps; value 0
 # vetoes the Pallas backward for that shape (XLA recompute fallback).
-# Defaults come from the round-5 on-chip probe (scripts/exp_bwd_shapes.py);
-# GDDIM_BWD_BT_MAP overrides per key.
-_DEFAULT_BWD_BT_MAP: dict = {}
+# Defaults come from the round-5 on-chip probe (scripts/exp_bwd_shapes.py)
+# confirmed end-to-end: enabling the 32x32 pair backward (bt=1, a shape the
+# VMEM estimate wrongly rejected — the probe compiled and ran it) took the
+# b128 training step 716.8 -> 789.0 img/s. GDDIM_BWD_BT_MAP overrides per
+# key.
+_DEFAULT_BWD_BT_MAP: dict = {(1024, 256): 1}
 
 
 def _bwd_bt_map() -> dict:

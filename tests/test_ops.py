@@ -1542,3 +1542,74 @@ def test_make_fused_resblock_train_pallas_bwd_gate(monkeypatch):
     )(x)
     assert np.isfinite(float(out))
     assert np.isfinite(np.asarray(grads)).all()
+
+
+def test_make_fused_attnblock_train_gradients_match_unfused(rng):
+    """make_fused_attnblock_train's custom_vjp backward == plain autodiff
+    of the unfused composition. On CPU the wrapper's forward falls back to
+    the reference, making the check exact."""
+    from gddim_tpu.ops.attnblock import (
+        attnblock_reference,
+        make_fused_attnblock_train,
+    )
+
+    B, H, C = 2, 8, 128
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    args = [f32(B, H, H, C), f32(C) * 0.1 + 1.0, f32(C) * 0.1]
+    for _ in range(4):  # q, k, v, o NINs
+        args += [f32(C, C) * 0.1, f32(C) * 0.1]
+    f = make_fused_attnblock_train(num_groups=32, skip_rescale=True)
+    idx = tuple(range(len(args)))
+    g_fused = jax.grad(lambda *a: jnp.sum(f(*a) ** 2), argnums=idx)(*args)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(
+            attnblock_reference(*a, num_groups=32, skip_rescale=True) ** 2
+        ),
+        argnums=idx,
+    )(*args)
+    for i, (gf, gr) in enumerate(zip(g_fused, g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=1e-5, atol=1e-6,
+            err_msg=f"arg{i}",
+        )
+
+
+def test_attnblock_fused_train_module_matches_normal(rng):
+    """AttnBlockpp in TRAIN mode dispatching to the fused-train kernel
+    (interpret mode) matches the composable-module path on identical
+    params — values AND parameter gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gddim_tpu.models import layers
+    from gddim_tpu.models.blocks import AttnBlockpp
+    from gddim_tpu.ops import attnblock as ab
+
+    block = AttnBlockpp(skip_rescale=True)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    params = block.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+
+    def loss(p, fused):
+        old_ft, old_sup = layers.FUSED_TRAIN, ab.supported
+        try:
+            layers.FUSED_TRAIN = fused
+            ab.supported = lambda shape: shape[-1] % 128 == 0
+            out = block.apply(p, x, train=True)
+        finally:
+            layers.FUSED_TRAIN, ab.supported = old_ft, old_sup
+        return jnp.sum(out**2), out
+
+    with pltpu.force_tpu_interpret_mode():
+        (l_f, out_f), g_f = jax.value_and_grad(loss, has_aux=True)(params, True)
+    (l_r, out_r), g_r = jax.value_and_grad(loss, has_aux=True)(params, False)
+    rel = np.abs(np.asarray(out_f) - np.asarray(out_r)).max() / np.abs(
+        np.asarray(out_r)
+    ).max()
+    assert rel < 2e-3, rel
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_r = jax.tree.leaves(g_r)
+    assert len(flat_f) == len(flat_r)
+    for (path, gf), gr in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-3, atol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
