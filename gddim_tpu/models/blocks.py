@@ -104,13 +104,15 @@ class AttnBlockpp(nn.Module):
                 act_scales=_static_scales(self, "h", "a"),
             )
 
-        # TRAINING whole-block fusion (model.fused_train): fused bf16 Pallas
-        # forward, backward = jax.vjp of the unfused composition recomputed
-        # from x (ops/attnblock.py:make_fused_attnblock_train). The block has
-        # no dropout, so forward and backward share the exact function.
+        # TRAINING whole-block fusion for attention — measured NEGATIVE and
+        # default OFF (round-5 chip A/B: 779.2 vs 789.0 img/s at b128 with
+        # the fused resblock backward active; with remat off, XLA shares the
+        # attention forward's matmuls with its VJP, and the opaque kernel
+        # forward forces a full recompute instead). GDDIM_FUSED_ATTN_TRAIN=1
+        # re-enables (ops/attnblock.py:make_fused_attnblock_train).
         if (
             layers.FUSED_TRAIN
-            and _os.environ.get("GDDIM_FUSED_ATTN_TRAIN", "1") != "0"
+            and _os.environ.get("GDDIM_FUSED_ATTN_TRAIN", "0") == "1"
             and train
             and not calibrating
             and not self.is_initializing()

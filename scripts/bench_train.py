@@ -26,7 +26,7 @@ FWD_GFLOP_PER_IMG = 34.75  # exact, XLA cost_analysis on the eps fn (PERF.md)
 
 
 def build(dtype: str, remat, batch: int, dropout=None, grad_only=False,
-          fused_train=False, fwd_only=False, no_attn=False):
+          fused_train=False, fwd_only=False, no_attn=False, family="cld"):
     from functools import partial
 
     from gddim_tpu.configs import get_config
@@ -34,7 +34,9 @@ def build(dtype: str, remat, batch: int, dropout=None, grad_only=False,
     from gddim_tpu.models import init_model
     from gddim_tpu.train import create_train_state, make_cld_loss_fn, make_train_step
 
-    cfg = get_config("cld/accr_dcifar10")
+    cfg = get_config(
+        "cld/accr_dcifar10" if family == "cld" else "blur/ddpm_deep_cifar10"
+    )
     cfg.model.dtype = dtype
     cfg.model.remat = remat
     cfg.training.n_jitted_steps = STEPS
@@ -57,9 +59,16 @@ def build(dtype: str, remat, batch: int, dropout=None, grad_only=False,
         )
     rng = jax.random.PRNGKey(0)
     model, mstate, params = init_model(rng, cfg)
-    sde = CLD.from_config(cfg)
     state = create_train_state(jax.random.PRNGKey(1), cfg, params, mstate)
-    loss_fn = make_cld_loss_fn(sde, model, train=True)
+    if family == "cld":
+        sde = CLD.from_config(cfg)
+        loss_fn = make_cld_loss_fn(sde, model, train=True)
+    else:
+        from gddim_tpu.math import blur as blur_lib
+        from gddim_tpu.train import make_blur_loss_fn
+
+        sde = blur_lib.from_config(cfg)
+        loss_fn = make_blur_loss_fn(sde, model, train=True)
     if fwd_only:
         # decomposition mode: scanned loss VALUE only (no grad, no update) —
         # the training forward's share of the step under the same config
@@ -145,6 +154,7 @@ def main():
         # fusedfwd = model.fused_train: fused bf16 Pallas block forward with
         # XLA-recomputed backward (custom_vjp) — usually run with remat OFF,
         # since the custom_vjp already keeps block interiors out of HBM
+        family = "blur" if "blur" in parts else "cld"
         fused_train = "fusedfwd" in parts
         fwd_only = "fwdonly" in parts
         no_attn = "noattn" in parts
@@ -160,6 +170,7 @@ def main():
             step, state, batch_data = build(
                 dtype, remat, batch, dropout=dropout, grad_only=grad_only,
                 fused_train=fused_train, fwd_only=fwd_only, no_attn=no_attn,
+                family=family,
             )
             dt = bench(step, state, batch_data)
         except Exception as e:
@@ -179,12 +190,18 @@ def main():
         # standard fwd+bwd convention is 3x the forward cost; remat adds one
         # more forward (4x). MFU here counts ONLY useful model flops, so the
         # remat recompute does not inflate it.
-        useful = 3.0 * FWD_GFLOP_PER_IMG * 1e9 * batch
-        tfs = useful / dt / 1e12
+        if family == "cld":
+            useful = 3.0 * FWD_GFLOP_PER_IMG * 1e9 * batch
+            tfs = useful / dt / 1e12
+            mfu_txt = (
+                f"{tfs:6.1f} TF/s(useful)  MFU {tfs*1e12/MEASURED_PEAK*100:4.1f}% "
+                f"of measured ({tfs*1e12/NOMINAL_PEAK*100:4.1f}% of nominal)"
+            )
+        else:  # blur model FLOPs differ; report throughput only
+            tfs = 0.0
+            mfu_txt = "(blur: no exact FLOP constant - img/s only)"
         print(
-            f"{spec}: {dt*1e3:7.2f} ms/step  {batch/dt:7.1f} img/s  "
-            f"{tfs:6.1f} TF/s(useful)  MFU {tfs*1e12/MEASURED_PEAK*100:4.1f}% "
-            f"of measured ({tfs*1e12/NOMINAL_PEAK*100:4.1f}% of nominal)",
+            f"{spec}: {dt*1e3:7.2f} ms/step  {batch/dt:7.1f} img/s  {mfu_txt}",
             flush=True,
         )
         # driver-visible regression record (committed after real-TPU runs):
@@ -204,7 +221,9 @@ def main():
                 "spec": spec,
                 "ms_per_step": round(dt * 1e3, 2),
                 "img_per_s": round(batch / dt, 1),
-                "useful_mfu_measured_peak": round(tfs * 1e12 / MEASURED_PEAK, 4),
+                "useful_mfu_measured_peak": (
+                    round(tfs * 1e12 / MEASURED_PEAK, 4) if tfs else None
+                ),
                 "backend": jax.default_backend(),
             }) + "\n")
 

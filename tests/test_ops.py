@@ -1574,11 +1574,14 @@ def test_make_fused_attnblock_train_gradients_match_unfused(rng):
         )
 
 
-def test_attnblock_fused_train_module_matches_normal(rng):
+def test_attnblock_fused_train_module_matches_normal(rng, monkeypatch):
     """AttnBlockpp in TRAIN mode dispatching to the fused-train kernel
     (interpret mode) matches the composable-module path on identical
-    params — values AND parameter gradients."""
+    params — values AND parameter gradients. (The path ships default-off —
+    measured negative end-to-end — so the gate env is set explicitly.)"""
     from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("GDDIM_FUSED_ATTN_TRAIN", "1")
 
     from gddim_tpu.models import layers
     from gddim_tpu.models.blocks import AttnBlockpp
