@@ -1616,3 +1616,16 @@ def test_attnblock_fused_train_module_matches_normal(rng, monkeypatch):
             np.asarray(gf), np.asarray(gr), rtol=2e-3, atol=2e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fused_resblock_bwd_default_map(monkeypatch):
+    """The round-5 probe-confirmed default map enables the 32x32 pair
+    backward at bt=1 (the estimator alone rejects it); env value 0 vetoes."""
+    from gddim_tpu.ops import resblock_bwd as rbw
+
+    monkeypatch.delenv("GDDIM_BWD_BT_MAP", raising=False)
+    monkeypatch.delenv("GDDIM_BWD_BT", raising=False)
+    assert rbw._pick_bt_bwd(64, 32, 32, 256, 128, 3) == 1
+    assert rbw.supported_bwd((64, 32, 32, 256), 128)
+    monkeypatch.setenv("GDDIM_BWD_BT_MAP", "1024.256:0")
+    assert not rbw.supported_bwd((64, 32, 32, 256), 128)
